@@ -1,0 +1,67 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+All tests run on a virtual 8-device CPU mesh so that multi-chip sharding
+(pjit over jax.sharding.Mesh) is exercised without TPU hardware. Must run
+before the first `import jax` anywhere.
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# This image pre-imports jax from a sitecustomize (TPU plugin registration),
+# so the env vars above are too late for jax.config — override explicitly
+# before any backend is initialized.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"
+assert jax.device_count() == 8, jax.devices()
+
+# Repo root importable (package + entry files live there).
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def pytest_configure(config):
+    # The PyTorch reference (golden oracle for parity tests) needs a couple of
+    # modules that are not in this image. Shim the trivial ones so the
+    # reference code stays importable; heavyweight deps (xformers, decord)
+    # already have in-repo fallbacks in the reference itself.
+    import types
+
+    if "easydict" not in sys.modules:
+        easydict = types.ModuleType("easydict")
+
+        class EasyDict(dict):
+            def __init__(self, *args, **kwargs):
+                super().__init__(*args, **kwargs)
+                self.__dict__ = self
+
+        easydict.EasyDict = EasyDict
+        sys.modules["easydict"] = easydict
+
+    if "torchvision" not in sys.modules:
+        try:
+            import torchvision  # noqa: F401
+        except ImportError:
+            torchvision = types.ModuleType("torchvision")
+            transforms = types.ModuleType("torchvision.transforms")
+
+            class Compose:
+                def __init__(self, fns):
+                    self.fns = fns
+
+                def __call__(self, sample):
+                    for f in self.fns:
+                        sample = f(sample)
+                    return sample
+
+            transforms.Compose = Compose
+            torchvision.transforms = transforms
+            sys.modules["torchvision"] = torchvision
+            sys.modules["torchvision.transforms"] = transforms

@@ -1,0 +1,182 @@
+"""DINOv2 ViT encoder — functional JAX, scan-stacked blocks, NHWC.
+
+Behavioral parity with the reference DinoVisionTransformer
+(/root/reference/video_depth_anything/dinov2.py:44-415) configured as in the
+DINOv2 factory (dinov2.py:398-415): patch 14, img 518, LayerScale
+init_values=1.0, exact-GELU MLP FFN, no registers, interpolate_offset=0.1,
+pre-norm blocks, LayerNorm eps 1e-6.
+
+TPU-first design choices (not a port):
+- all transformer blocks share one compiled body via lax.scan over stacked
+  block parameters; the encoder scans *segments* between feature-tap indices
+  (get_intermediate_layers semantics, dinov2.py:297-321) so taps cost no
+  extra memory;
+- q/k/v are separate projections so attention consumes [B,S,H,D] with zero
+  layout copies (see ops/pallas_attention.py);
+- positional-embedding bicubic interpolation (dinov2.py:179-210, including
+  the +0.1 scale-factor quirk) is folded into static per-shape weight
+  matrices applied as fp32 matmuls at trace time.
+
+Param tree (under "pretrained", 1:1 with the torch checkpoint via
+utils/torch_convert.py):
+  cls_token [1,1,D]; pos_embed [1,1+N,D]; mask_token [1,D]
+  patch_embed.proj {w: [14,14,3,D], b}
+  blocks: stacked leaves [L, ...] of
+    {norm1, attn: {q,k,v,proj}, ls1: {gamma}, norm2, mlp: {fc1,fc2}, ls2}
+  norm {scale, bias}
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ViTConfig
+from ..ops import attention as attn_ops
+from ..ops import nn as vnn
+from ..ops.resize import cubic_resize_matrix
+
+
+def interpolate_pos_encoding(pos_embed: jax.Array, ph: int, pw: int,
+                             cfg: ViTConfig) -> jax.Array:
+    """Resample pos_embed [1, 1+N, D] to a (ph, pw) patch grid.
+
+    Mirrors dinov2.py:179-210: bicubic with scale_factor
+    (grid + interpolate_offset)/sqrt(N) per axis, computed in fp32.
+    """
+    n = pos_embed.shape[1] - 1
+    if ph * pw == n and ph == pw:
+        return pos_embed
+    g = int(math.sqrt(n))
+    assert g * g == n, f"pos_embed patches {n} not square"
+    dim = pos_embed.shape[-1]
+    cls_pos = pos_embed[:, :1].astype(jnp.float32)
+    patch_pos = pos_embed[:, 1:].astype(jnp.float32).reshape(g, g, dim)
+    sh = (ph + cfg.interpolate_offset) / g
+    sw = (pw + cfg.interpolate_offset) / g
+    mh = jnp.asarray(cubic_resize_matrix(g, ph, scale=sh))
+    mw = jnp.asarray(cubic_resize_matrix(g, pw, scale=sw))
+    patch_pos = jnp.einsum("oh,hwd->owd", mh, patch_pos)
+    patch_pos = jnp.einsum("pw,owd->opd", mw, patch_pos)
+    patch_pos = patch_pos.reshape(1, ph * pw, dim)
+    return jnp.concatenate([cls_pos, patch_pos], axis=1)
+
+
+def _block_step(carry, bp, *, num_heads: int, use_pallas):
+    """One pre-norm ViT block (reference dinov2_layers/block.py:82-107)."""
+    x = carry
+    n, s, d = x.shape
+    dh = d // num_heads
+
+    y = vnn.layer_norm(bp["norm1"], x, eps=1e-6)
+    q = vnn.linear(bp["attn"]["q"], y).reshape(n, s, num_heads, dh)
+    k = vnn.linear(bp["attn"]["k"], y).reshape(n, s, num_heads, dh)
+    v = vnn.linear(bp["attn"]["v"], y).reshape(n, s, num_heads, dh)
+    o = attn_ops.mha(q, k, v, use_pallas=use_pallas).reshape(n, s, d)
+    o = vnn.linear(bp["attn"]["proj"], o)
+    x = x + bp["ls1"]["gamma"].astype(x.dtype) * o
+
+    y = vnn.layer_norm(bp["norm2"], x, eps=1e-6)
+    y = vnn.linear(bp["mlp"]["fc1"], y)
+    y = vnn.gelu(y)
+    y = vnn.linear(bp["mlp"]["fc2"], y)
+    x = x + bp["ls2"]["gamma"].astype(x.dtype) * y
+    return x, None
+
+
+def _slice_blocks(blocks, start: int, stop: int):
+    return jax.tree.map(lambda a: a[start:stop], blocks)
+
+
+def get_intermediate_layers(params, x: jax.Array, cfg: ViTConfig,
+                            taps, use_pallas=None):
+    """Run the encoder, returning [(patch_tokens [N,P,D], cls [N,D]), ...]
+    for each tap index (post final-norm, as in dinov2.py:297-321 norm=True).
+
+    x: [N, H, W, 3] with H, W multiples of patch_size. Blocks after the last
+    tap are skipped (they cannot affect the outputs).
+    """
+    n, h, w, _ = x.shape
+    p = cfg.patch_size
+    ph, pw = h // p, w // p
+
+    tokens = vnn.conv2d(params["patch_embed"]["proj"], x, stride=p)
+    tokens = tokens.reshape(n, ph * pw, cfg.embed_dim)
+    cls = jnp.broadcast_to(params["cls_token"].astype(tokens.dtype),
+                           (n, 1, cfg.embed_dim))
+    tokens = jnp.concatenate([cls, tokens], axis=1)
+    pos = interpolate_pos_encoding(params["pos_embed"], ph, pw, cfg)
+    tokens = tokens + pos.astype(tokens.dtype)
+
+    step = partial(_block_step, num_heads=cfg.num_heads, use_pallas=use_pallas)
+    outs = []
+    start = 0
+    for t in taps:
+        seg = _slice_blocks(params["blocks"], start, t + 1)
+        tokens, _ = jax.lax.scan(step, tokens, seg)
+        outs.append(tokens)
+        start = t + 1
+
+    results = []
+    for o in outs:
+        o = vnn.layer_norm(params["norm"], o, eps=1e-6)
+        results.append((o[:, 1:, :], o[:, 0, :]))
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Initialization (timm-style trunc normal for linears, dinov2.py:172-177,331-336)
+# ---------------------------------------------------------------------------
+
+def _trunc_normal(rng, shape, std=0.02):
+    return std * jax.random.truncated_normal(rng, -2.0, 2.0, shape, jnp.float32)
+
+
+def init_encoder_params(rng: jax.Array, cfg: ViTConfig):
+    d = cfg.embed_dim
+    n = cfg.num_patches
+    keys = iter(jax.random.split(rng, 8 + 8 * cfg.depth))
+
+    def lin(key, din, dout, std=0.02):
+        return {"w": _trunc_normal(key, (din, dout), std), "b": jnp.zeros((dout,))}
+
+    def ln():
+        return {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+
+    hidden = int(d * cfg.mlp_ratio)
+    block_list = []
+    for _ in range(cfg.depth):
+        block_list.append({
+            "norm1": ln(),
+            "attn": {
+                "q": lin(next(keys), d, d),
+                "k": lin(next(keys), d, d),
+                "v": lin(next(keys), d, d),
+                "proj": lin(next(keys), d, d),
+            },
+            "ls1": {"gamma": jnp.full((d,), cfg.init_values, jnp.float32)},
+            "norm2": ln(),
+            "mlp": {
+                "fc1": lin(next(keys), d, hidden),
+                "fc2": lin(next(keys), hidden, d),
+            },
+            "ls2": {"gamma": jnp.full((d,), cfg.init_values, jnp.float32)},
+        })
+    blocks = jax.tree.map(lambda *xs: jnp.stack(xs), *block_list)
+
+    fan = cfg.patch_size * cfg.patch_size * 3
+    return {
+        "cls_token": 1e-6 * jax.random.normal(next(keys), (1, 1, d), jnp.float32),
+        "pos_embed": _trunc_normal(next(keys), (1, 1 + n, d)),
+        "mask_token": jnp.zeros((1, d)),
+        "patch_embed": {"proj": {
+            "w": _trunc_normal(next(keys), (cfg.patch_size, cfg.patch_size, 3, d),
+                               std=math.sqrt(1.0 / fan)),
+            "b": jnp.zeros((d,)),
+        }},
+        "blocks": blocks,
+        "norm": ln(),
+    }

@@ -1,0 +1,113 @@
+"""Temporal motion modules — per-pixel attention over the time axis.
+
+Parity with reference motion_module/motion_module.py:32-297 and
+motion_module/attention.py:30-429: GroupNorm(32, eps 1e-6) -> proj_in ->
+N x (2 x TemporalAttention + GEGLU FF, LayerNorm eps 1e-5) -> zero-init
+proj_out + residual. Tokens are the T frames at each spatial position.
+
+TPU regime: seq = T (<=32), batch = B*H*W — a 32x32 score matrix per pixel.
+Flash tiling buys nothing here; the whole block is plain batched matmuls
+that XLA fuses (the reference's xformers batch-split at 65535,
+attention.py:275-293, is unnecessary).
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import nn as vnn
+from ..ops.attention import temporal_mha
+
+
+def sinusoidal_pe(d_model: int, max_len: int) -> np.ndarray:
+    """APE table (motion_module.py:180-198): pe[0,:,0::2]=sin, 1::2=cos."""
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float64)
+                 * (-math.log(10000.0) / d_model))
+    pe = np.zeros((1, max_len, d_model), dtype=np.float64)
+    pe[0, :, 0::2] = np.sin(position * div)
+    pe[0, :, 1::2] = np.cos(position * div)
+    return pe.astype(np.float32)
+
+
+def rope_freqs_cis(dim: int, end: int, theta: float = 10000.0) -> np.ndarray:
+    """RoPE table (attention.py:403-408) as [end, dim//2] complex64."""
+    freqs = 1.0 / (theta ** (np.arange(0, dim, 2)[: dim // 2] / dim))
+    t = np.arange(end, dtype=np.float64)
+    angles = np.outer(t, freqs)
+    return (np.cos(angles) + 1j * np.sin(angles)).astype(np.complex64)
+
+
+def _apply_rope(x, freqs_cis):
+    """x: [B, T, C] -> rotate pairs (attention.py:419-429)."""
+    b, t, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, t, c // 2, 2)
+    xc = xf[..., 0] + 1j * xf[..., 1]
+    fc = jnp.asarray(freqs_cis)[None, :t, :]
+    out = xc * fc
+    out = jnp.stack([jnp.real(out), jnp.imag(out)], axis=-1).reshape(b, t, c)
+    return out.astype(x.dtype)
+
+
+def _temporal_attention(p, x, num_heads: int, pe: str):
+    """TemporalAttention.forward (motion_module.py:230-297) on [BD, T, C]."""
+    bd, t, c = x.shape
+    if pe == "ape":
+        x = x + p["pos_encoder"]["pe"][:, :t].astype(x.dtype)
+    q = vnn.linear(p["to_q"], x)
+    k = vnn.linear(p["to_k"], x)
+    v = vnn.linear(p["to_v"], x)
+    if pe == "rope":
+        q = _apply_rope(q, p["_freqs_cis"])
+        k = _apply_rope(k, p["_freqs_cis"])
+    dh = c // num_heads
+    q = q.reshape(bd, t, num_heads, dh)
+    k = k.reshape(bd, t, num_heads, dh)
+    v = v.reshape(bd, t, num_heads, dh)
+    o = temporal_mha(q, k, v).reshape(bd, t, c)
+    return vnn.linear(p["to_out"]["0"], o)
+
+
+def _geglu_ff(p, x):
+    """FeedForward GEGLU (attention.py:296-400): x*gelu(gate) -> linear."""
+    h = vnn.linear(p["net"]["0"]["proj"], x)
+    val, gate = jnp.split(h, 2, axis=-1)
+    h = val * vnn.gelu(gate)
+    return vnn.linear(p["net"]["2"], h)
+
+
+def _transformer_block(p, x, b: int, t: int, num_heads: int, pe: str,
+                       num_attention_blocks: int = 2):
+    """TemporalTransformerBlock (motion_module.py:129-177) on [B*T, HW, C]."""
+    bt, hw, c = x.shape
+    for i in range(num_attention_blocks):
+        y = vnn.layer_norm(p["norms"][str(i)], x, eps=1e-5)
+        # (b f) d c -> (b d) f c  (motion_module.py:232)
+        y = y.reshape(b, t, hw, c).transpose(0, 2, 1, 3).reshape(b * hw, t, c)
+        y = _temporal_attention(p["attention_blocks"][str(i)], y, num_heads, pe)
+        y = y.reshape(b, hw, t, c).transpose(0, 2, 1, 3).reshape(bt, hw, c)
+        x = x + y
+    x = x + _geglu_ff(p["ff"], vnn.layer_norm(p["ff_norm"], x, eps=1e-5))
+    return x
+
+
+def temporal_module(p, x, b: int, t: int, num_heads: int = 8, pe: str = "ape",
+                    num_transformer_block: int = 1, num_attention_blocks: int = 2):
+    """TemporalModule on NHWC features x: [B*T, H, W, C] -> same shape.
+
+    GroupNorm -> proj_in -> transformer blocks -> proj_out + residual
+    (motion_module.py:102-126).
+    """
+    tt = p["temporal_transformer"]
+    bt, h, w, c = x.shape
+    residual = x
+    y = vnn.group_norm(tt["norm"], x, num_groups=32, eps=1e-6)
+    y = y.reshape(bt, h * w, c)
+    y = vnn.linear(tt["proj_in"], y)
+    for i in range(num_transformer_block):
+        y = _transformer_block(tt["transformer_blocks"][str(i)], y, b, t,
+                               num_heads, pe, num_attention_blocks)
+    y = vnn.linear(tt["proj_out"], y)
+    return y.reshape(bt, h, w, c) + residual

@@ -1,0 +1,221 @@
+"""VideoDepthAnything — full model: DINOv2 encoder + temporal DPT head.
+
+Parity with reference video_depth.py:37-164 (pristine variant
+metric_depth/video_depth_anything/video_depth.py:35-65): flatten (B,T) into
+the batch, run the encoder's 4 intermediate taps, decode with the
+DPT-temporal head (4 TemporalModules on layer_3 / layer_4 / path_4 / path_3,
+dpt_temporal.py:53-114), bilinear-upsample to input resolution and ReLU.
+
+The reference's micro_batch_size frame chunking (dpt_temporal.py:101-114)
+is a CUDA memory workaround; under XLA the whole head is one fused graph,
+so it is intentionally not replicated (kept as a no-op arg for API parity).
+"""
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops import nn as vnn
+from ..ops.resize import resize_bilinear_align_corners
+from . import dinov2, dpt
+from .motion import sinusoidal_pe, temporal_module
+
+
+def _head_forward(p, taps, ph: int, pw: int, b: int, t: int, cfg: ModelConfig,
+                  fp32_island: bool = True):
+    """DPTHeadTemporal.forward (dpt_temporal.py:53-114).
+
+    taps: list of 4 patch-token arrays [B*T, P, D].
+    Returns depth [B*T, 14*ph, 14*pw, 1] (fp32 when fp32_island).
+    """
+    n = taps[0].shape[0]
+    d = taps[0].shape[-1]
+    grids = [x.reshape(n, ph, pw, d) for x in taps]
+
+    layer_1 = vnn.conv_transpose2d(
+        p["resize_layers"]["0"], vnn.conv2d(p["projects"]["0"], grids[0]), stride=4)
+    layer_2 = vnn.conv_transpose2d(
+        p["resize_layers"]["1"], vnn.conv2d(p["projects"]["1"], grids[1]), stride=2)
+    layer_3 = vnn.conv2d(p["projects"]["2"], grids[2])
+    layer_4 = vnn.conv2d(
+        p["resize_layers"]["3"], vnn.conv2d(p["projects"]["3"], grids[3]),
+        stride=2, padding=1)
+
+    mm = p["motion_modules"]
+    mkw = dict(num_heads=cfg.num_attention_heads, pe=cfg.pe,
+               num_transformer_block=cfg.num_transformer_block,
+               num_attention_blocks=cfg.num_attention_blocks)
+    layer_3 = temporal_module(mm["0"], layer_3, b, t, **mkw)
+    layer_4 = temporal_module(mm["1"], layer_4, b, t, **mkw)
+
+    l1rn, l2rn, l3rn, l4rn = dpt.scratch_rn(p, [layer_1, layer_2, layer_3, layer_4])
+
+    sc = p["scratch"]
+    path_4 = dpt.feature_fusion_block(sc["refinenet4"], l4rn,
+                                      size=l3rn.shape[-3:-1])
+    path_4 = temporal_module(mm["2"], path_4, b, t, **mkw)
+    path_3 = dpt.feature_fusion_block(sc["refinenet3"], path_4, l3rn,
+                                      size=l2rn.shape[-3:-1])
+    path_3 = temporal_module(mm["3"], path_3, b, t, **mkw)
+    path_2 = dpt.feature_fusion_block(sc["refinenet2"], path_3, l2rn,
+                                      size=l1rn.shape[-3:-1])
+    path_1 = dpt.feature_fusion_block(sc["refinenet1"], path_2, l1rn)
+
+    return dpt.output_head(p, path_1, (14 * ph, 14 * pw), fp32_island)
+
+
+def forward(params, x: jax.Array, cfg: ModelConfig,
+            use_pallas: bool | None = None, fp32_island: bool = True) -> jax.Array:
+    """x: [B, T, H, W, 3] (normalized) -> depth [B, T, H, W] fp32, ReLU'd.
+
+    Mirrors VideoDepthAnything.forward (video_depth.py:89-164 pristine path).
+    """
+    b, t, h, w, _ = x.shape
+    ph, pw = h // cfg.vit.patch_size, w // cfg.vit.patch_size
+    flat = x.reshape(b * t, h, w, 3)
+    feats = dinov2.get_intermediate_layers(
+        params["pretrained"], flat, cfg.vit, cfg.intermediate_layer_idx,
+        use_pallas=use_pallas)
+    taps = [f[0] for f in feats]
+    depth = _head_forward(params["head"], taps, ph, pw, b, t, cfg, fp32_island)
+    depth = resize_bilinear_align_corners(depth.astype(jnp.float32), (h, w))
+    depth = jnp.maximum(depth, 0.0)
+    return depth[..., 0].reshape(b, t, h, w)
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def _conv_init(rng, kh, kw, cin, cout, bias=True):
+    """torch Conv2d default: kaiming_uniform(a=sqrt(5)) ~ U(-b, b)."""
+    fan_in = kh * kw * cin
+    bound = math.sqrt(1.0 / fan_in)
+    k1, k2 = jax.random.split(rng)
+    p = {"w": jax.random.uniform(k1, (kh, kw, cin, cout), jnp.float32,
+                                 -bound * math.sqrt(3), bound * math.sqrt(3))}
+    if bias:
+        p["b"] = jax.random.uniform(k2, (cout,), jnp.float32, -bound, bound)
+    return p
+
+
+def _convT_init(rng, k, cin, cout):
+    fan_in = k * k * cout  # torch convT fan_in uses weight shape [cin,cout,k,k]
+    bound = math.sqrt(1.0 / fan_in)
+    k1, k2 = jax.random.split(rng)
+    return {
+        "w": jax.random.uniform(k1, (k, k, cout, cin), jnp.float32,
+                                -bound * math.sqrt(3), bound * math.sqrt(3)),
+        "b": jax.random.uniform(k2, (cout,), jnp.float32, -bound, bound),
+    }
+
+
+def _linear_init(rng, din, dout, bias=True):
+    bound = math.sqrt(1.0 / din)
+    k1, k2 = jax.random.split(rng)
+    p = {"w": jax.random.uniform(k1, (din, dout), jnp.float32,
+                                 -bound * math.sqrt(3), bound * math.sqrt(3))}
+    if bias:
+        p["b"] = jax.random.uniform(k2, (dout,), jnp.float32, -bound, bound)
+    return p
+
+
+def _ln_init(d):
+    return {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+
+
+def _rcu_init(rng, features):
+    k1, k2 = jax.random.split(rng)
+    return {"conv1": _conv_init(k1, 3, 3, features, features),
+            "conv2": _conv_init(k2, 3, 3, features, features)}
+
+
+def _fusion_init(rng, features):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "out_conv": _conv_init(k1, 1, 1, features, features),
+        "resConfUnit1": _rcu_init(k2, features),
+        "resConfUnit2": _rcu_init(k3, features),
+    }
+
+
+def _motion_init(rng, c, cfg: ModelConfig):
+    keys = iter(jax.random.split(rng, 64))
+    inner = c
+
+    def attn_block():
+        p = {
+            "to_q": _linear_init(next(keys), inner, inner, bias=False),
+            "to_k": _linear_init(next(keys), inner, inner, bias=False),
+            "to_v": _linear_init(next(keys), inner, inner, bias=False),
+            "to_out": {"0": _linear_init(next(keys), inner, inner)},
+        }
+        if cfg.pe == "ape":
+            p["pos_encoder"] = {"pe": jnp.asarray(sinusoidal_pe(inner, cfg.num_frames))}
+        return p
+
+    blocks = {}
+    for i in range(cfg.num_transformer_block):
+        blocks[str(i)] = {
+            "attention_blocks": {str(j): attn_block()
+                                 for j in range(cfg.num_attention_blocks)},
+            "norms": {str(j): _ln_init(inner)
+                      for j in range(cfg.num_attention_blocks)},
+            "ff": {"net": {"0": {"proj": _linear_init(next(keys), inner, 8 * inner)},
+                           "2": _linear_init(next(keys), 4 * inner, inner)}},
+            "ff_norm": _ln_init(inner),
+        }
+    proj_out = _linear_init(next(keys), inner, c)
+    # zero_initialize=True (motion_module.py:57-58)
+    proj_out = {"w": jnp.zeros_like(proj_out["w"]), "b": jnp.zeros_like(proj_out["b"])}
+    return {"temporal_transformer": {
+        "norm": _ln_init(c),
+        "proj_in": _linear_init(next(keys), c, inner),
+        "transformer_blocks": blocks,
+        "proj_out": proj_out,
+    }}
+
+
+def init_head_params(rng: jax.Array, cfg: ModelConfig):
+    d = cfg.vit.embed_dim
+    f = cfg.features
+    oc = list(cfg.out_channels)
+    keys = iter(jax.random.split(rng, 32))
+    p = {
+        "projects": {str(i): _conv_init(next(keys), 1, 1, d, oc[i]) for i in range(4)},
+        "resize_layers": {
+            "0": _convT_init(next(keys), 4, oc[0], oc[0]),
+            "1": _convT_init(next(keys), 2, oc[1], oc[1]),
+            "3": _conv_init(next(keys), 3, 3, oc[3], oc[3]),
+        },
+        "scratch": {
+            **{f"layer{i+1}_rn": _conv_init(next(keys), 3, 3, oc[i], f, bias=False)
+               for i in range(4)},
+            **{f"refinenet{i}": _fusion_init(next(keys), f) for i in (1, 2, 3, 4)},
+            "output_conv1": _conv_init(next(keys), 3, 3, f, f // 2),
+            "output_conv2": {
+                "0": _conv_init(next(keys), 3, 3, f // 2, 32),
+                "2": _conv_init(next(keys), 1, 1, 32, 1),
+            },
+        },
+        "motion_modules": {
+            "0": _motion_init(next(keys), oc[2], cfg),
+            "1": _motion_init(next(keys), oc[3], cfg),
+            "2": _motion_init(next(keys), f, cfg),
+            "3": _motion_init(next(keys), f, cfg),
+        },
+    }
+    return p
+
+
+def init_params(rng: jax.Array, cfg: ModelConfig):
+    """Random-init full parameter tree ({"pretrained": ..., "head": ...})."""
+    k1, k2 = jax.random.split(rng)
+    return {
+        "pretrained": dinov2.init_encoder_params(k1, cfg.vit),
+        "head": init_head_params(k2, cfg),
+    }

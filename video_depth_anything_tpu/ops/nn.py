@@ -1,0 +1,93 @@
+"""Core NN primitives: functional, NHWC, bf16-friendly with fp32 islands.
+
+Parameter layout conventions (used by the torch checkpoint converter,
+utils/torch_convert.py):
+  linear: {"w": [in, out], "b": [out]}              (torch weight.T)
+  conv  : {"w": [Kh, Kw, Cin, Cout], "b": [Cout]}   (torch OIHW -> HWIO)
+  norm  : {"scale": [C], "bias": [C]}
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def linear(p, x):
+    y = jnp.dot(x, p["w"], preferred_element_type=x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def layer_norm(p, x, eps: float = 1e-6):
+    """LayerNorm over the last axis; statistics in fp32 (autocast behavior)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def group_norm(p, x, num_groups: int = 32, eps: float = 1e-6):
+    """GroupNorm over channels of x[..., C] with fp32 statistics.
+
+    Reference: torch.nn.GroupNorm(32, C, eps=1e-6) applied to NCHW feature
+    maps (motion_module.py:84,110); here x is channel-last and the group
+    statistics are taken over (spatial..., channels-in-group) per sample.
+    Leading axis 0 is the batch axis.
+    """
+    c = x.shape[-1]
+    assert c % num_groups == 0, (c, num_groups)
+    xf = x.astype(jnp.float32)
+    shape = xf.shape
+    # [B, *spatial, C] -> [B, -1, G, C//G]
+    xg = xf.reshape(shape[0], -1, num_groups, c // num_groups)
+    xg = jnp.swapaxes(xg, 1, 2)  # [B, G, S, C//G]
+    mean = jnp.mean(xg, axis=(2, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=(2, 3), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    xg = jnp.swapaxes(xg, 1, 2).reshape(shape)
+    y = xg * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def gelu(x):
+    """Exact (erf) GELU, matching torch.nn.GELU default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def conv2d(p, x, stride: int = 1, padding: int = 0):
+    """NHWC conv with HWIO weights (torch Conv2d semantics)."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def conv_transpose2d(p, x, stride: int):
+    """NHWC transposed conv matching torch ConvTranspose2d(k=s, stride=s).
+
+    The DPT resize layers only use kernel_size == stride with no padding
+    (dpt.py:70-82), for which the transpose is an exact block upsample:
+    every output pixel receives exactly one (input pixel, kernel tap)
+    contribution. Implemented as matmul + reshape (MXU, no scatter).
+    """
+    kh, kw, cout, cin = p["w"].shape  # converter stores torch IOHW -> HWOI
+    assert (kh, kw) == (stride, stride), "only k==s supported (DPT resize layers)"
+    b, h, w, _ = x.shape
+    # [B,H,W,Cin] @ [Cin, kh*kw*Cout]
+    wmat = p["w"].astype(x.dtype).transpose(3, 0, 1, 2).reshape(cin, kh * kw * cout)
+    y = jnp.dot(x, wmat, preferred_element_type=x.dtype)  # [B,H,W,kh*kw*Cout]
+    y = y.reshape(b, h, w, kh, kw, cout)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * kh, w * kw, cout)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y

@@ -1,0 +1,97 @@
+"""Pallas TPU attention kernel for the spatial ViT regime.
+
+Regime (reference dinov2_layers/attention.py:65-81 replaced): seq S ~= 1370
+(518px / patch 14 -> 37^2 + cls) up to ~8.3k (1280px), head_dim 64, batch =
+windows * frames. Keys/values for one (batch, head) fit comfortably in VMEM
+(S=8448: k+v bf16 ~2.1MB, fp32 scores for a 128-row q block ~4.2MB), so the
+kernel is a *one-pass* softmax over the full key range per q block — no
+online-softmax rescaling passes, which are only needed when K can't be
+resident. This is faster than textbook flash attention for S in this range
+and still O(S) memory (never materializes [S, S] in HBM).
+
+Layout: q, k, v are [B, S, H, D] — exactly what separate q/k/v projection
+matmuls produce with zero transposes. The grid is (B, H, num_q_blocks); the
+K/V block index map is constant in the q-block axis so Pallas keeps K/V
+resident in VMEM across q blocks of the same (batch, head).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_MAX_S_PAD = 66 * 128  # VMEM guard: fp32 scores block = 128*S_pad*4 bytes
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_actual: int):
+    q = q_ref[0, :, 0, :]            # [bq, D]
+    k = k_ref[0, :, 0, :]            # [S_pad, D]
+    v = v_ref[0, :, 0, :]            # [S_pad, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                 # [bq, S_pad] fp32
+    s = s * scale
+    if s_actual < k.shape[0]:
+        key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_ids < s_actual, s, -jnp.inf)
+    # One-pass stable softmax in fp32 (whole key range is resident).
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = (e / denom).astype(v.dtype)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0, :, 0, :] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def flash_attention(q, k, v, *, scale: float, block_q: int = 256,
+                    interpret: bool = False):
+    """Attention on [B, S, H, D]; returns [B, S, H, D]."""
+    b, s_len, h, d = q.shape
+    s_pad = -(-s_len // _LANES) * _LANES
+    if s_pad > _MAX_S_PAD:
+        from .attention import _xla_mha
+        return _xla_mha(q, k, v, scale)
+    block_q = min(block_q, s_pad)
+    # Pad seq so both q-block and K/V tiles are lane-aligned.
+    q_pad = -(-s_pad // block_q) * block_q
+    if q_pad != s_len:
+        pad = [(0, 0), (0, q_pad - s_len), (0, 0), (0, 0)]
+        q = jnp.pad(q, pad)
+    if s_pad != s_len:
+        pad = [(0, 0), (0, s_pad - s_len), (0, 0), (0, 0)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    grid = (b, h, q_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, s_actual=s_len),
+        out_shape=jax.ShapeDtypeStruct((b, q_pad, h, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * q_pad * s_pad * d,
+            bytes_accessed=(b * h * (q_pad + 2 * s_pad) * d * q.dtype.itemsize
+                            + b * h * q_pad * d * q.dtype.itemsize),
+            transcendentals=b * h * q_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    if q_pad != s_len:
+        out = out[:, :s_len]
+    return out
