@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Benchmark: ViT-L 1x32x518x518 window latency on the local accelerator.
+
+Prints ONE JSON line:
+  {"metric": "vitl_ms_per_frame_518", "value": ..., "unit": "ms/frame",
+   "vs_baseline": ...}
+
+Baseline: 14 ms/frame — A100 fp16 ViT-L (reference README.md:58), the
+north-star target from BASELINE.md. vs_baseline > 1 means faster than
+baseline (baseline_ms / our_ms).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_MS_PER_FRAME = 14.0  # A100 fp16, reference README.md:58
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--encoder", default="vitl", choices=["vits", "vitl"])
+    parser.add_argument("--frames", type=int, default=32)
+    parser.add_argument("--size", type=int, default=518)
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--no_pallas", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_depth_anything_tpu.config import get_model_config
+    from video_depth_anything_tpu.models.video_depth import forward, init_params
+
+    cfg = get_model_config(args.encoder)
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda a: a.astype(dtype)
+                          if a.dtype == jnp.float32 else a, params)
+    use_pallas = (not args.no_pallas) and jax.default_backend() != "cpu"
+
+    @jax.jit
+    def fn(p, x):
+        return forward(p, x, cfg, use_pallas=use_pallas)
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (1, args.frames, args.size, args.size, 3)), dtype)
+
+    # Compile + warmup.
+    fn(params, x).block_until_ready()
+    for _ in range(args.warmup):
+        fn(params, x).block_until_ready()
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        fn(params, x).block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    p50 = sorted(times)[len(times) // 2]
+    ms_per_frame = p50 * 1000.0 / args.frames
+    print(json.dumps({
+        "metric": f"{args.encoder}_ms_per_frame_{args.size}",
+        "value": round(ms_per_frame, 3),
+        "unit": "ms/frame",
+        "vs_baseline": round(BASELINE_MS_PER_FRAME / ms_per_frame, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Video Depth Anything (TPU) — relative/metric depth CLI.
+
+Flag parity with the reference CLI (run.py:23-34 and metric_depth/run.py,
+whose missing --save_exr flag — a latent crash at metric_depth/run.py:62 —
+is fixed here by defining it for both modes).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Video Depth Anything (TPU)")
+    parser.add_argument("--input_video", type=str,
+                        default="./assets/example_videos/davis_rollercoaster.mp4")
+    parser.add_argument("--output_dir", type=str, default="./outputs")
+    parser.add_argument("--input_size", type=int, default=518)
+    parser.add_argument("--max_res", type=int, default=1280)
+    parser.add_argument("--encoder", type=str, default="vitl",
+                        choices=["vits", "vitl"])
+    parser.add_argument("--max_len", type=int, default=-1,
+                        help="maximum number of input frames, -1 = no limit")
+    parser.add_argument("--target_fps", type=int, default=-1,
+                        help="target fps, -1 = original")
+    parser.add_argument("--fp32", action="store_true",
+                        help="infer in float32 (default bfloat16 on TPU)")
+    parser.add_argument("--grayscale", action="store_true",
+                        help="no color palette in the depth video")
+    parser.add_argument("--save_npz", action="store_true")
+    parser.add_argument("--save_exr", action="store_true")
+    parser.add_argument("--metric", action="store_true",
+                        help="metric-depth model (identity window stitching)")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help=".npz (native) or .pth (torch) checkpoint; "
+                             "defaults to ./checkpoints/ reference layout")
+    parser.add_argument("--random_init", action="store_true",
+                        help="random weights (smoke testing without a checkpoint)")
+    parser.add_argument("--windows_per_batch", type=int, default=1)
+    args = parser.parse_args()
+
+    import jax
+
+    from video_depth_anything_tpu.config import get_model_config
+    from video_depth_anything_tpu.models.video_depth import init_params
+    from video_depth_anything_tpu.pipeline import VideoDepthPipeline
+    from video_depth_anything_tpu.utils import params_io
+    from video_depth_anything_tpu.utils.video_io import read_video_frames, save_video
+
+    cfg = get_model_config(args.encoder, metric=args.metric)
+
+    ckpt = args.checkpoint or params_io.resolve_checkpoint(args.encoder, args.metric)
+    if ckpt is not None:
+        print(f"loading checkpoint: {ckpt}")
+        params = params_io.load_checkpoint(ckpt, cfg)
+    elif args.random_init:
+        print("WARNING: --random_init — outputs are not meaningful depth")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+    else:
+        sys.exit("no checkpoint found (use --checkpoint or --random_init); "
+                 "expected ./checkpoints/video_depth_anything_{vits,vitl}.{npz,pth}")
+
+    frames, target_fps = read_video_frames(
+        args.input_video, args.max_len, args.target_fps, args.max_res)
+    print(f"{frames.shape[0]} frames @ {target_fps:.2f} fps, "
+          f"{frames.shape[1]}x{frames.shape[2]}, backend={jax.default_backend()}")
+
+    pipe = VideoDepthPipeline(cfg, params)
+    depths, fps = pipe.infer_video_depth(
+        frames, target_fps, input_size=args.input_size, fp32=args.fp32,
+        windows_per_batch=args.windows_per_batch)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(args.input_video))[0]
+    save_video(frames, os.path.join(args.output_dir, stem + "_src.mp4"), fps=fps)
+    save_video(depths, os.path.join(args.output_dir, stem + "_vis.mp4"), fps=fps,
+               is_depths=True, grayscale=args.grayscale)
+    print(f"wrote {args.output_dir}/{stem}_src.mp4 and _vis.mp4")
+
+    if args.save_npz:
+        import numpy as np
+        np.savez_compressed(os.path.join(args.output_dir, stem + "_depths.npz"),
+                            depths=depths)
+        print(f"wrote {stem}_depths.npz")
+    if args.save_exr:
+        from video_depth_anything_tpu.utils.exr import write_exr_z
+        exr_dir = os.path.join(args.output_dir, stem + "_depths_exr")
+        os.makedirs(exr_dir, exist_ok=True)
+        for i, d in enumerate(depths):
+            write_exr_z(os.path.join(exr_dir, f"frame_{i:05d}.exr"), d)
+        print(f"wrote {len(depths)} EXR frames to {exr_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -12,9 +12,9 @@ from video_depth_anything_tpu.ops.pallas_attention import flash_attention
 @pytest.mark.parametrize("b,s,h,d", [(2, 1370, 6, 64), (1, 257, 4, 64), (2, 128, 2, 32)])
 def test_flash_attention_matches_xla(b, s, h, d):
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.standard_normal((b, s, h, d), dtype=np.float32))
-    k = jnp.asarray(rng.standard_normal((b, s, h, d), dtype=np.float32))
-    v = jnp.asarray(rng.standard_normal((b, s, h, d), dtype=np.float32))
+    q = jnp.asarray(rng.standard_normal((b, h, s, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, s, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, s, d), dtype=np.float32))
     scale = d ** -0.5
     ref = _xla_mha(q, k, v, scale)
     got = flash_attention(q, k, v, scale=scale, interpret=True)
@@ -25,9 +25,9 @@ def test_flash_attention_padding_mask():
     """Padded key positions must not leak into the softmax."""
     rng = np.random.default_rng(1)
     s = 130  # pads to 256
-    q = jnp.asarray(rng.standard_normal((1, s, 2, 64), dtype=np.float32))
-    k = jnp.asarray(rng.standard_normal((1, s, 2, 64), dtype=np.float32))
-    v = jnp.asarray(100.0 * rng.standard_normal((1, s, 2, 64), dtype=np.float32))
+    q = jnp.asarray(rng.standard_normal((1, 2, s, 64), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, s, 64), dtype=np.float32))
+    v = jnp.asarray(100.0 * rng.standard_normal((1, 2, s, 64), dtype=np.float32))
     ref = _xla_mha(q, k, v, 0.125)
     got = flash_attention(q, k, v, scale=0.125, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-3)

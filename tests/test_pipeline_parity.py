@@ -1,0 +1,85 @@
+"""End-to-end sliding-window inference parity vs reference infer_video_depth.
+
+Covers: preprocessing (cv2-cubic resize + normalize), window gathering with
+keyframe re-injection, forward, source-resolution upsample, and the affine
+stitching chain — over multiple windows so the lstsq/cross-fade path runs.
+"""
+import numpy as np
+import pytest
+
+from video_depth_anything_tpu.config import get_model_config
+from video_depth_anything_tpu.pipeline import VideoDepthPipeline
+from video_depth_anything_tpu.pipeline.windows import window_indices
+from video_depth_anything_tpu.utils.torch_convert import from_torch_module
+
+from reference_oracle import build_torch_model
+
+N_FRAMES = 50   # 3 windows -> 2 stitching steps
+SRC_HW = (70, 98)
+INPUT_SIZE = 56
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tm = build_torch_model("vits", num_frames=32)
+    cfg = get_model_config("vits")
+    params = from_torch_module(tm, cfg)
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(N_FRAMES, *SRC_HW, 3), dtype=np.uint8)
+    return tm, cfg, params, frames
+
+
+def test_window_indices_match_reference_padding():
+    """Window gather must equal the reference's sequential overwrite scheme."""
+    n = 50
+    idx = window_indices(n)
+    # Simulate reference: padded frame list + sequential keyframe injection.
+    from video_depth_anything_tpu.config import FRAME_STEP, INFER_LEN, KEYFRAMES
+    append = (FRAME_STEP - (n % FRAME_STEP)) % FRAME_STEP + (INFER_LEN - FRAME_STEP)
+    padded = list(range(n)) + [n - 1] * append
+    ref_rows = []
+    pre = None
+    for fid in range(0, n, FRAME_STEP):
+        cur = [padded[fid + i] for i in range(INFER_LEN)]
+        if pre is not None:
+            for j, kf in enumerate(KEYFRAMES):
+                cur[j] = pre[kf]
+        ref_rows.append(cur)
+        pre = cur
+    np.testing.assert_array_equal(idx, np.asarray(ref_rows))
+
+
+def test_infer_video_depth_parity(setup):
+    import torch
+
+    tm, cfg, params, frames = setup
+    with torch.no_grad():
+        ref_depths, ref_fps = tm.infer_video_depth(
+            frames, target_fps=24, input_size=INPUT_SIZE, device="cpu", fp32=True)
+
+    pipe = VideoDepthPipeline(cfg, params, use_pallas=False)
+    got, fps = pipe.infer_video_depth(frames, target_fps=24,
+                                      input_size=INPUT_SIZE, fp32=True)
+
+    assert fps == ref_fps
+    assert got.shape == ref_depths.shape == (N_FRAMES, *SRC_HW)
+    scale = max(np.abs(ref_depths).max(), 1e-3)
+    # Frames before the first stitch step are bit-faithful to the forward.
+    err_head = np.abs(got[:24] - ref_depths[:24]).max() / scale
+    assert err_head < 1e-5, f"pre-stitch relative error {err_head}"
+    # Post-stitch frames inherit the reference's own fp32 lstsq conditioning
+    # (we use the stable centered form; see test_stitch_math.py), so compare
+    # with a tolerance covering that instability, not exact fp32 replay.
+    err = np.abs(got - ref_depths).max() / scale
+    assert err < 2.5e-2, f"relative error {err}"
+
+
+def test_infer_chunked_matches_unchunked(setup):
+    """windows_per_batch>1 (padded last chunk) must be identical."""
+    tm, cfg, params, frames = setup
+    pipe = VideoDepthPipeline(cfg, params, use_pallas=False)
+    a, _ = pipe.infer_video_depth(frames, input_size=INPUT_SIZE, fp32=True,
+                                  windows_per_batch=1)
+    b, _ = pipe.infer_video_depth(frames, input_size=INPUT_SIZE, fp32=True,
+                                  windows_per_batch=2)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

@@ -75,6 +75,7 @@ class ModelConfig:
     num_transformer_block: int = 1
     num_attention_blocks: int = 2
     metric: bool = False                 # metric model: identity stitching
+    taps: Tuple[int, ...] = ()           # override feature-tap layer indices
 
     @property
     def vit(self) -> ViTConfig:
@@ -83,6 +84,8 @@ class ModelConfig:
     @property
     def intermediate_layer_idx(self) -> List[int]:
         # reference video_depth.py:48-51
+        if self.taps:
+            return list(self.taps)
         return {
             "vits": [2, 5, 8, 11],
             "vitb": [2, 5, 8, 11],

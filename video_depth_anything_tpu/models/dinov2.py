@@ -72,11 +72,20 @@ def _block_step(carry, bp, *, num_heads: int, use_pallas):
     dh = d // num_heads
 
     y = vnn.layer_norm(bp["norm1"], x, eps=1e-6)
-    q = vnn.linear(bp["attn"]["q"], y).reshape(n, s, num_heads, dh)
-    k = vnn.linear(bp["attn"]["k"], y).reshape(n, s, num_heads, dh)
-    v = vnn.linear(bp["attn"]["v"], y).reshape(n, s, num_heads, dh)
-    o = attn_ops.mha(q, k, v, use_pallas=use_pallas).reshape(n, s, d)
-    o = vnn.linear(bp["attn"]["proj"], o)
+
+    def head_proj(p):
+        # [N,S,D] @ [D,H,dh] -> [N,H,S,dh]: head split fused into the matmul.
+        w = p["w"].astype(y.dtype).reshape(d, num_heads, dh)
+        out = jnp.einsum("nsd,dhk->nhsk", y, w, preferred_element_type=y.dtype)
+        return out + p["b"].astype(y.dtype).reshape(num_heads, 1, dh)
+
+    q = head_proj(bp["attn"]["q"])
+    k = head_proj(bp["attn"]["k"])
+    v = head_proj(bp["attn"]["v"])
+    o = attn_ops.mha(q, k, v, use_pallas=use_pallas)       # [N,H,S,dh]
+    wp = bp["attn"]["proj"]["w"].astype(y.dtype).reshape(num_heads, dh, d)
+    o = jnp.einsum("nhsk,hkd->nsd", o, wp, preferred_element_type=y.dtype)
+    o = o + bp["attn"]["proj"]["b"].astype(y.dtype)
     x = x + bp["ls1"]["gamma"].astype(x.dtype) * o
 
     y = vnn.layer_norm(bp["norm2"], x, eps=1e-6)
@@ -128,23 +137,31 @@ def get_intermediate_layers(params, x: jax.Array, cfg: ViTConfig,
 
 
 # ---------------------------------------------------------------------------
-# Initialization (timm-style trunc normal for linears, dinov2.py:172-177,331-336)
+# Initialization (timm-style trunc normal for linears, dinov2.py:172-177,
+# 331-336). Pure NumPy — see models/video_depth.py init_params for why.
 # ---------------------------------------------------------------------------
 
-def _trunc_normal(rng, shape, std=0.02):
-    return std * jax.random.truncated_normal(rng, -2.0, 2.0, shape, jnp.float32)
+def _trunc_normal(rng: np.random.Generator, shape, std=0.02):
+    x = rng.standard_normal(shape)
+    while True:  # resample outside +-2 sigma (torch trunc_normal_ semantics)
+        bad = np.abs(x) > 2.0
+        if not bad.any():
+            break
+        x[bad] = rng.standard_normal(bad.sum())
+    return (std * x).astype(np.float32)
 
 
-def init_encoder_params(rng: jax.Array, cfg: ViTConfig):
+def init_encoder_params(rng: np.random.Generator, cfg: ViTConfig):
     d = cfg.embed_dim
     n = cfg.num_patches
-    keys = iter(jax.random.split(rng, 8 + 8 * cfg.depth))
 
-    def lin(key, din, dout, std=0.02):
-        return {"w": _trunc_normal(key, (din, dout), std), "b": jnp.zeros((dout,))}
+    def lin(din, dout, std=0.02):
+        return {"w": _trunc_normal(rng, (din, dout), std),
+                "b": np.zeros((dout,), np.float32)}
 
     def ln():
-        return {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+        return {"scale": np.ones((d,), np.float32),
+                "bias": np.zeros((d,), np.float32)}
 
     hidden = int(d * cfg.mlp_ratio)
     block_list = []
@@ -152,30 +169,30 @@ def init_encoder_params(rng: jax.Array, cfg: ViTConfig):
         block_list.append({
             "norm1": ln(),
             "attn": {
-                "q": lin(next(keys), d, d),
-                "k": lin(next(keys), d, d),
-                "v": lin(next(keys), d, d),
-                "proj": lin(next(keys), d, d),
+                "q": lin(d, d),
+                "k": lin(d, d),
+                "v": lin(d, d),
+                "proj": lin(d, d),
             },
-            "ls1": {"gamma": jnp.full((d,), cfg.init_values, jnp.float32)},
+            "ls1": {"gamma": np.full((d,), cfg.init_values, np.float32)},
             "norm2": ln(),
             "mlp": {
-                "fc1": lin(next(keys), d, hidden),
-                "fc2": lin(next(keys), hidden, d),
+                "fc1": lin(d, hidden),
+                "fc2": lin(hidden, d),
             },
-            "ls2": {"gamma": jnp.full((d,), cfg.init_values, jnp.float32)},
+            "ls2": {"gamma": np.full((d,), cfg.init_values, np.float32)},
         })
-    blocks = jax.tree.map(lambda *xs: jnp.stack(xs), *block_list)
+    blocks = jax.tree.map(lambda *xs: np.stack(xs), *block_list)
 
     fan = cfg.patch_size * cfg.patch_size * 3
     return {
-        "cls_token": 1e-6 * jax.random.normal(next(keys), (1, 1, d), jnp.float32),
-        "pos_embed": _trunc_normal(next(keys), (1, 1 + n, d)),
-        "mask_token": jnp.zeros((1, d)),
+        "cls_token": (1e-6 * rng.standard_normal((1, 1, d))).astype(np.float32),
+        "pos_embed": _trunc_normal(rng, (1, 1 + n, d)),
+        "mask_token": np.zeros((1, d), np.float32),
         "patch_embed": {"proj": {
-            "w": _trunc_normal(next(keys), (cfg.patch_size, cfg.patch_size, 3, d),
+            "w": _trunc_normal(rng, (cfg.patch_size, cfg.patch_size, 3, d),
                                std=math.sqrt(1.0 / fan)),
-            "b": jnp.zeros((d,)),
+            "b": np.zeros((d,), np.float32),
         }},
         "blocks": blocks,
         "norm": ln(),

@@ -63,10 +63,10 @@ def _temporal_attention(p, x, num_heads: int, pe: str):
         q = _apply_rope(q, p["_freqs_cis"])
         k = _apply_rope(k, p["_freqs_cis"])
     dh = c // num_heads
-    q = q.reshape(bd, t, num_heads, dh)
-    k = k.reshape(bd, t, num_heads, dh)
-    v = v.reshape(bd, t, num_heads, dh)
-    o = temporal_mha(q, k, v).reshape(bd, t, c)
+    q = q.reshape(bd, t, num_heads, dh).transpose(0, 2, 1, 3)
+    k = k.reshape(bd, t, num_heads, dh).transpose(0, 2, 1, 3)
+    v = v.reshape(bd, t, num_heads, dh).transpose(0, 2, 1, 3)
+    o = temporal_mha(q, k, v).transpose(0, 2, 1, 3).reshape(bd, t, c)
     return vnn.linear(p["to_out"]["0"], o)
 
 

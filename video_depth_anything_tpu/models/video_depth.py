@@ -17,6 +17,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ModelConfig
 from ..ops import nn as vnn
@@ -88,74 +89,69 @@ def forward(params, x: jax.Array, cfg: ModelConfig,
 
 
 # ---------------------------------------------------------------------------
-# Initialization
+# Initialization — pure NumPy (hundreds of tiny RNG ops would each pay a
+# trace+compile+dispatch round trip as jax ops), converted to jnp at the end.
 # ---------------------------------------------------------------------------
 
-def _conv_init(rng, kh, kw, cin, cout, bias=True):
+def _conv_init(rng: np.random.Generator, kh, kw, cin, cout, bias=True):
     """torch Conv2d default: kaiming_uniform(a=sqrt(5)) ~ U(-b, b)."""
     fan_in = kh * kw * cin
     bound = math.sqrt(1.0 / fan_in)
-    k1, k2 = jax.random.split(rng)
-    p = {"w": jax.random.uniform(k1, (kh, kw, cin, cout), jnp.float32,
-                                 -bound * math.sqrt(3), bound * math.sqrt(3))}
+    p = {"w": rng.uniform(-bound * math.sqrt(3), bound * math.sqrt(3),
+                          (kh, kw, cin, cout)).astype(np.float32)}
     if bias:
-        p["b"] = jax.random.uniform(k2, (cout,), jnp.float32, -bound, bound)
+        p["b"] = rng.uniform(-bound, bound, (cout,)).astype(np.float32)
     return p
 
 
-def _convT_init(rng, k, cin, cout):
+def _convT_init(rng: np.random.Generator, k, cin, cout):
     fan_in = k * k * cout  # torch convT fan_in uses weight shape [cin,cout,k,k]
     bound = math.sqrt(1.0 / fan_in)
-    k1, k2 = jax.random.split(rng)
     return {
-        "w": jax.random.uniform(k1, (k, k, cout, cin), jnp.float32,
-                                -bound * math.sqrt(3), bound * math.sqrt(3)),
-        "b": jax.random.uniform(k2, (cout,), jnp.float32, -bound, bound),
+        "w": rng.uniform(-bound * math.sqrt(3), bound * math.sqrt(3),
+                         (k, k, cout, cin)).astype(np.float32),
+        "b": rng.uniform(-bound, bound, (cout,)).astype(np.float32),
     }
 
 
-def _linear_init(rng, din, dout, bias=True):
+def _linear_init(rng: np.random.Generator, din, dout, bias=True):
     bound = math.sqrt(1.0 / din)
-    k1, k2 = jax.random.split(rng)
-    p = {"w": jax.random.uniform(k1, (din, dout), jnp.float32,
-                                 -bound * math.sqrt(3), bound * math.sqrt(3))}
+    p = {"w": rng.uniform(-bound * math.sqrt(3), bound * math.sqrt(3),
+                          (din, dout)).astype(np.float32)}
     if bias:
-        p["b"] = jax.random.uniform(k2, (dout,), jnp.float32, -bound, bound)
+        p["b"] = rng.uniform(-bound, bound, (dout,)).astype(np.float32)
     return p
 
 
 def _ln_init(d):
-    return {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+    return {"scale": np.ones((d,), np.float32), "bias": np.zeros((d,), np.float32)}
 
 
 def _rcu_init(rng, features):
-    k1, k2 = jax.random.split(rng)
-    return {"conv1": _conv_init(k1, 3, 3, features, features),
-            "conv2": _conv_init(k2, 3, 3, features, features)}
+    return {"conv1": _conv_init(rng, 3, 3, features, features),
+            "conv2": _conv_init(rng, 3, 3, features, features)}
 
 
 def _fusion_init(rng, features):
-    k1, k2, k3 = jax.random.split(rng, 3)
     return {
-        "out_conv": _conv_init(k1, 1, 1, features, features),
-        "resConfUnit1": _rcu_init(k2, features),
-        "resConfUnit2": _rcu_init(k3, features),
+        "out_conv": _conv_init(rng, 1, 1, features, features),
+        "resConfUnit1": _rcu_init(rng, features),
+        "resConfUnit2": _rcu_init(rng, features),
     }
 
 
 def _motion_init(rng, c, cfg: ModelConfig):
-    keys = iter(jax.random.split(rng, 64))
     inner = c
 
     def attn_block():
         p = {
-            "to_q": _linear_init(next(keys), inner, inner, bias=False),
-            "to_k": _linear_init(next(keys), inner, inner, bias=False),
-            "to_v": _linear_init(next(keys), inner, inner, bias=False),
-            "to_out": {"0": _linear_init(next(keys), inner, inner)},
+            "to_q": _linear_init(rng, inner, inner, bias=False),
+            "to_k": _linear_init(rng, inner, inner, bias=False),
+            "to_v": _linear_init(rng, inner, inner, bias=False),
+            "to_out": {"0": _linear_init(rng, inner, inner)},
         }
         if cfg.pe == "ape":
-            p["pos_encoder"] = {"pe": jnp.asarray(sinusoidal_pe(inner, cfg.num_frames))}
+            p["pos_encoder"] = {"pe": sinusoidal_pe(inner, cfg.num_frames)}
         return p
 
     blocks = {}
@@ -165,57 +161,66 @@ def _motion_init(rng, c, cfg: ModelConfig):
                                  for j in range(cfg.num_attention_blocks)},
             "norms": {str(j): _ln_init(inner)
                       for j in range(cfg.num_attention_blocks)},
-            "ff": {"net": {"0": {"proj": _linear_init(next(keys), inner, 8 * inner)},
-                           "2": _linear_init(next(keys), 4 * inner, inner)}},
+            "ff": {"net": {"0": {"proj": _linear_init(rng, inner, 8 * inner)},
+                           "2": _linear_init(rng, 4 * inner, inner)}},
             "ff_norm": _ln_init(inner),
         }
-    proj_out = _linear_init(next(keys), inner, c)
     # zero_initialize=True (motion_module.py:57-58)
-    proj_out = {"w": jnp.zeros_like(proj_out["w"]), "b": jnp.zeros_like(proj_out["b"])}
+    proj_out = {"w": np.zeros((inner, c), np.float32),
+                "b": np.zeros((c,), np.float32)}
     return {"temporal_transformer": {
         "norm": _ln_init(c),
-        "proj_in": _linear_init(next(keys), c, inner),
+        "proj_in": _linear_init(rng, c, inner),
         "transformer_blocks": blocks,
         "proj_out": proj_out,
     }}
 
 
-def init_head_params(rng: jax.Array, cfg: ModelConfig):
+def init_head_params(rng: np.random.Generator, cfg: ModelConfig):
     d = cfg.vit.embed_dim
     f = cfg.features
     oc = list(cfg.out_channels)
-    keys = iter(jax.random.split(rng, 32))
     p = {
-        "projects": {str(i): _conv_init(next(keys), 1, 1, d, oc[i]) for i in range(4)},
+        "projects": {str(i): _conv_init(rng, 1, 1, d, oc[i]) for i in range(4)},
         "resize_layers": {
-            "0": _convT_init(next(keys), 4, oc[0], oc[0]),
-            "1": _convT_init(next(keys), 2, oc[1], oc[1]),
-            "3": _conv_init(next(keys), 3, 3, oc[3], oc[3]),
+            "0": _convT_init(rng, 4, oc[0], oc[0]),
+            "1": _convT_init(rng, 2, oc[1], oc[1]),
+            "3": _conv_init(rng, 3, 3, oc[3], oc[3]),
         },
         "scratch": {
-            **{f"layer{i+1}_rn": _conv_init(next(keys), 3, 3, oc[i], f, bias=False)
+            **{f"layer{i+1}_rn": _conv_init(rng, 3, 3, oc[i], f, bias=False)
                for i in range(4)},
-            **{f"refinenet{i}": _fusion_init(next(keys), f) for i in (1, 2, 3, 4)},
-            "output_conv1": _conv_init(next(keys), 3, 3, f, f // 2),
+            **{f"refinenet{i}": _fusion_init(rng, f) for i in (1, 2, 3, 4)},
+            "output_conv1": _conv_init(rng, 3, 3, f, f // 2),
             "output_conv2": {
-                "0": _conv_init(next(keys), 3, 3, f // 2, 32),
-                "2": _conv_init(next(keys), 1, 1, 32, 1),
+                "0": _conv_init(rng, 3, 3, f // 2, 32),
+                "2": _conv_init(rng, 1, 1, 32, 1),
             },
         },
         "motion_modules": {
-            "0": _motion_init(next(keys), oc[2], cfg),
-            "1": _motion_init(next(keys), oc[3], cfg),
-            "2": _motion_init(next(keys), f, cfg),
-            "3": _motion_init(next(keys), f, cfg),
+            "0": _motion_init(rng, oc[2], cfg),
+            "1": _motion_init(rng, oc[3], cfg),
+            "2": _motion_init(rng, f, cfg),
+            "3": _motion_init(rng, f, cfg),
         },
     }
     return p
 
 
-def init_params(rng: jax.Array, cfg: ModelConfig):
-    """Random-init full parameter tree ({"pretrained": ..., "head": ...})."""
-    k1, k2 = jax.random.split(rng)
-    return {
-        "pretrained": dinov2.init_encoder_params(k1, cfg.vit),
-        "head": init_head_params(k2, cfg),
+def init_params(rng, cfg: ModelConfig):
+    """Random-init full parameter tree ({"pretrained": ..., "head": ...}).
+
+    `rng` is an int seed or a jax PRNGKey (seed material only). Init is pure
+    NumPy — hundreds of tiny RNG ops as jax calls would each pay a
+    trace/compile/dispatch round trip — converted to jnp once at the end.
+    """
+    if isinstance(rng, (int, np.integer)):
+        seed = int(rng)
+    else:
+        seed = int(np.asarray(jax.random.key_data(rng)).ravel()[-1])
+    gen = np.random.default_rng(seed)
+    tree = {
+        "pretrained": dinov2.init_encoder_params(gen, cfg.vit),
+        "head": init_head_params(gen, cfg),
     }
+    return jax.tree.map(jnp.asarray, tree)

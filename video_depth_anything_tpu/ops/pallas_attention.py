@@ -3,16 +3,16 @@
 Regime (reference dinov2_layers/attention.py:65-81 replaced): seq S ~= 1370
 (518px / patch 14 -> 37^2 + cls) up to ~8.3k (1280px), head_dim 64, batch =
 windows * frames. Keys/values for one (batch, head) fit comfortably in VMEM
-(S=8448: k+v bf16 ~2.1MB, fp32 scores for a 128-row q block ~4.2MB), so the
+(S=8448: k+v bf16 ~2.1MB, fp32 scores for a 256-row q block ~8.4MB), so the
 kernel is a *one-pass* softmax over the full key range per q block — no
-online-softmax rescaling passes, which are only needed when K can't be
-resident. This is faster than textbook flash attention for S in this range
-and still O(S) memory (never materializes [S, S] in HBM).
+online-softmax rescaling, which is only needed when K can't be resident.
+Faster than textbook flash attention in this range and still O(S) memory
+(never materializes [S, S] in HBM).
 
-Layout: q, k, v are [B, S, H, D] — exactly what separate q/k/v projection
-matmuls produce with zero transposes. The grid is (B, H, num_q_blocks); the
-K/V block index map is constant in the q-block axis so Pallas keeps K/V
-resident in VMEM across q blocks of the same (batch, head).
+Layout: [B, H, S, D] head-major (see ops/attention.py) — Mosaic requires
+the block's trailing dims to tile (sublane x lane), so S and D must be the
+last two axes. The K/V block index map is constant in the q-block axis, so
+Pallas keeps K/V resident in VMEM across q blocks of one (batch, head).
 """
 from __future__ import annotations
 
@@ -24,13 +24,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
-_MAX_S_PAD = 66 * 128  # VMEM guard: fp32 scores block = 128*S_pad*4 bytes
+_MAX_S_PAD = 33 * 256  # VMEM guard: fp32 scores block = block_q*S_pad*4 bytes
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_actual: int):
-    q = q_ref[0, :, 0, :]            # [bq, D]
-    k = k_ref[0, :, 0, :]            # [S_pad, D]
-    v = v_ref[0, :, 0, :]            # [S_pad, D]
+    q = q_ref[0, 0]                  # [bq, D]
+    k = k_ref[0, 0]                  # [S_pad, D]
+    v = v_ref[0, 0]                  # [S_pad, D]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )                                 # [bq, S_pad] fp32
@@ -46,43 +46,42 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_actual: int):
     o = jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    o_ref[0, :, 0, :] = o.astype(o_ref.dtype)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
 def flash_attention(q, k, v, *, scale: float, block_q: int = 256,
                     interpret: bool = False):
-    """Attention on [B, S, H, D]; returns [B, S, H, D]."""
-    b, s_len, h, d = q.shape
+    """Attention on [B, H, S, D]; returns [B, H, S, D]."""
+    b, h, s_len, d = q.shape
     s_pad = -(-s_len // _LANES) * _LANES
     if s_pad > _MAX_S_PAD:
         from .attention import _xla_mha
         return _xla_mha(q, k, v, scale)
     block_q = min(block_q, s_pad)
-    # Pad seq so both q-block and K/V tiles are lane-aligned.
+    # Pad seq so both the q-block grid and K/V tiles are lane-aligned.
     q_pad = -(-s_pad // block_q) * block_q
     if q_pad != s_len:
-        pad = [(0, 0), (0, q_pad - s_len), (0, 0), (0, 0)]
-        q = jnp.pad(q, pad)
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, q_pad - s_len), (0, 0)])
     if s_pad != s_len:
-        pad = [(0, 0), (0, s_pad - s_len), (0, 0), (0, 0)]
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
+        k = jnp.pad(k, [(0, 0), (0, 0), (0, s_pad - s_len), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, 0), (0, s_pad - s_len), (0, 0)])
 
     grid = (b, h, q_pad // block_q)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, s_actual=s_len),
-        out_shape=jax.ShapeDtypeStruct((b, q_pad, h, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, q_pad, d), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0),
+            pl.BlockSpec((1, 1, s_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0),
+            pl.BlockSpec((1, 1, s_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0),
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda bi, hi, qi: (bi, hi, qi, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * q_pad * s_pad * d,
@@ -93,5 +92,5 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 256,
         interpret=interpret,
     )(q, k, v)
     if q_pad != s_len:
-        out = out[:, :s_len]
+        out = out[:, :, :s_len]
     return out

@@ -1,0 +1,132 @@
+"""VideoDepthPipeline — sliding-window video depth inference.
+
+Public API parity: VideoDepthAnything.infer_video_depth
+(video_depth.py:166-254): frames [N,H,W,3] -> (depths [N,H,W] fp32, fps).
+
+TPU-native structure (vs the reference's per-window host loop):
+- window source indices are closed-form (pipeline/windows.py), so windows
+  upload as batches and the forward is one compiled graph per chunk shape;
+- preprocessing (resize/normalize) and the depth upsample to source
+  resolution run inside the jitted window graph;
+- cross-window affine stitching is a jitted lax.scan (pipeline/stitch.py)
+  whose carry streams across chunks; only finalized frames cross back to
+  host;
+- bf16 compute by default (fp32 flag preserved), fp32 stitch/output.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FRAME_STEP, INFER_LEN, InferConfig, ModelConfig
+from ..models import video_depth
+from ..ops.resize import resize_bilinear_align_corners
+from . import preprocess, stitch, windows
+
+
+class VideoDepthPipeline:
+    def __init__(self, cfg: ModelConfig, params, mesh=None,
+                 use_pallas: Optional[bool] = None):
+        self.cfg = cfg
+        self.params = params
+        self.mesh = mesh
+        self.use_pallas = use_pallas
+        self._cast_cache: dict = {}
+        self._forward_jit = {}
+
+    # -- internals ----------------------------------------------------------
+    def _params_in(self, dtype):
+        key = jnp.dtype(dtype).name
+        if key not in self._cast_cache:
+            self._cast_cache[key] = jax.tree.map(
+                lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+                self.params)
+        return self._cast_cache[key]
+
+    def _window_fn(self, net_hw, src_hw, dtype):
+        """jitted: windows_u8 [C,32,H,W,3] -> depth [C,32,H,W] fp32."""
+        key = (net_hw, src_hw, jnp.dtype(dtype).name)
+        if key in self._forward_jit:
+            return self._forward_jit[key]
+        cfg = self.cfg
+        use_pallas = self.use_pallas
+
+        @jax.jit
+        def fn(params, win_u8):
+            c = win_u8.shape[0]
+            x = preprocess.preprocess_frames(win_u8, net_hw, dtype=dtype)
+            depth = video_depth.forward(params, x, cfg, use_pallas=use_pallas)
+            d = depth.reshape(c * INFER_LEN, *depth.shape[2:], 1)
+            d = resize_bilinear_align_corners(d.astype(jnp.float32), src_hw)
+            return d[..., 0].reshape(c, INFER_LEN, *src_hw)
+
+        self._forward_jit[key] = fn
+        return fn
+
+    # -- public API ----------------------------------------------------------
+    def infer_video_depth(self, frames, target_fps: float = -1,
+                          input_size: int = 518, fp32: bool = False,
+                          windows_per_batch: int = 1):
+        """frames: [N, H, W, 3] uint8 (or float in [0,1]).
+
+        Returns (depths [N, H, W] float32, target_fps) — same contract as the
+        reference (video_depth.py:166,254).
+        """
+        frames = np.asarray(frames)
+        n, src_h, src_w = frames.shape[0], frames.shape[1], frames.shape[2]
+        eff = preprocess.effective_input_size(src_h, src_w, input_size)
+        net_hw = preprocess.network_input_hw(src_h, src_w, eff)
+        dtype = jnp.float32 if fp32 else jnp.bfloat16
+        params = self._params_in(dtype)
+
+        idx = windows.window_indices(n)              # [K, 32]
+        k_total = idx.shape[0]
+        c = max(1, min(windows_per_batch, k_total))
+        fwd = self._window_fn(net_hw, (src_h, src_w), dtype)
+        scan = partial(_stitch_chunk, metric=self.cfg.metric)
+
+        outputs = []
+        carry = None
+        last_tail = None
+        for start in range(0, k_total, c):
+            sel = idx[start:start + c]
+            r = sel.shape[0]
+            if r < c:  # pad chunk to the compiled shape; extra results dropped
+                sel = np.concatenate([sel, np.repeat(sel[-1:], c - r, axis=0)])
+            win = frames[sel]                         # [C, 32, H, W, 3]
+            depths = fwd(params, jnp.asarray(win))    # [C, 32, H, W] fp32
+            if carry is None:
+                carry, emit0 = _stitch_first_jit(depths[0])
+                outputs.append(np.asarray(emit0))
+                last_tail = carry[2]
+                depths = depths[1:]
+                r -= 1
+            if r > 0:
+                carry, emits, tails = scan(carry, depths)
+                outputs.append(np.asarray(emits[:r]).reshape(r * FRAME_STEP,
+                                                             src_h, src_w))
+                last_tail = tails[r - 1]
+        outputs.append(np.asarray(last_tail))
+        depths_full = np.concatenate(outputs, axis=0)
+        return depths_full[:n], target_fps
+
+
+@jax.jit
+def _stitch_first_jit(depths0):
+    return stitch.stitch_first(depths0)
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def _stitch_chunk(carry, window_depths, metric: bool = False):
+    """Scan emitting both the 22 finalized frames and each window's tail8
+    (the tail is needed for the final flush when the last chunk is padded)."""
+    def step(cry, d):
+        cry, emit = stitch.stitch_step(cry, d, metric=metric)
+        return cry, (emit, cry[2])
+
+    carry, (emits, tails) = jax.lax.scan(step, carry, window_depths)
+    return carry, emits, tails

@@ -1,0 +1,94 @@
+"""Host-side video decode/encode feeding the TPU pipeline.
+
+Capability parity with reference utils/dc_utils.py:19-86 (decord/imageio
+paths): fps-stride resampling, max_res downscale-to-even, max_len
+truncation, inferno/grayscale depth visualization. This environment has no
+decord/ffmpeg bindings, so decode/encode go through OpenCV.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import cv2
+    _CV2 = True
+except ImportError:  # pragma: no cover
+    _CV2 = False
+
+
+def _ensure_even(v: int) -> int:
+    return v if v % 2 == 0 else v + 1
+
+
+def read_video_frames(video_path: str, process_length: int = -1,
+                      target_fps: float = -1, max_res: int = -1):
+    """-> (frames [N,H,W,3] uint8 RGB, fps). Mirrors dc_utils.py:22-69."""
+    assert _CV2, "OpenCV required for video decode"
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {video_path}")
+    original_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+
+    scale_hw = None
+    if max_res > 0 and max(h, w) > max_res:
+        scale = max_res / max(h, w)
+        scale_hw = (_ensure_even(round(h * scale)), _ensure_even(round(w * scale)))
+
+    fps = original_fps if target_fps <= 0 else target_fps
+    stride = max(round(original_fps / fps), 1)
+
+    frames = []
+    count = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if count % stride == 0:
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            if scale_hw is not None:
+                frame = cv2.resize(frame, (scale_hw[1], scale_hw[0]),
+                                   interpolation=cv2.INTER_AREA)
+            frames.append(frame)
+            if process_length > 0 and len(frames) >= process_length:
+                break
+        count += 1
+    cap.release()
+    if not frames:
+        raise ValueError(f"no frames decoded from {video_path}")
+    return np.stack(frames, axis=0), fps
+
+
+def _inferno_lut() -> np.ndarray:
+    import matplotlib.cm as cm
+    return np.asarray(cm.get_cmap("inferno").colors)  # [256, 3] float
+
+
+def depth_visualization(depths: np.ndarray, grayscale: bool = False) -> np.ndarray:
+    """Global min-max normalized depth video -> uint8 RGB (dc_utils.py:74-83)."""
+    d_min, d_max = float(depths.min()), float(depths.max())
+    denom = (d_max - d_min) or 1.0
+    norm = ((depths - d_min) / denom * 255).astype(np.uint8)
+    if grayscale:
+        return np.repeat(norm[..., None], 3, axis=-1)
+    lut = (_inferno_lut() * 255).astype(np.uint8)
+    return lut[norm]
+
+
+def save_video(frames: np.ndarray, output_path: str, fps: float = 10,
+               is_depths: bool = False, grayscale: bool = False) -> None:
+    """Write an mp4 (dc_utils.py:72-86 contract). frames: [N,H,W,3] uint8 RGB
+    or [N,H,W] float depth when is_depths."""
+    assert _CV2, "OpenCV required for video encode"
+    if is_depths:
+        frames = depth_visualization(np.asarray(frames), grayscale)
+    frames = np.asarray(frames)
+    h, w = frames.shape[1:3]
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    writer = cv2.VideoWriter(output_path, fourcc, fps, (w, h))
+    if not writer.isOpened():
+        raise IOError(f"cannot open video writer for {output_path}")
+    for f in frames:
+        writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    writer.release()
