@@ -62,6 +62,51 @@ def pytest_configure(config):
                     return sample
 
             transforms.Compose = Compose
+
+            # Minimal TF.functional over PIL — same PIL calls real
+            # torchvision makes for PIL inputs (resize/crop/to_tensor/normalize).
+            functional = types.ModuleType("torchvision.transforms.functional")
+
+            def _tf_resize(img, size, interpolation=None):
+                from PIL import Image as _Image
+                if isinstance(size, (list, tuple)):
+                    new_h, new_w = size
+                else:
+                    w, h = img.size
+                    if w <= h:
+                        new_w, new_h = size, max(int(round(h * size / w)), size)
+                    else:
+                        new_h, new_w = size, max(int(round(w * size / h)), size)
+                resample = interpolation if interpolation is not None \
+                    else _Image.BILINEAR
+                return img.resize((new_w, new_h), resample)
+
+            def _tf_crop(img, i, j, h, w):
+                return img.crop((j, i, j + w, i + h))
+
+            def _tf_to_tensor(pic):
+                import numpy as _np
+                import torch as _torch
+                arr = _np.array(pic)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                t = _torch.from_numpy(arr.transpose(2, 0, 1)).contiguous()
+                if t.dtype == _torch.uint8:
+                    t = t.float().div(255.0)
+                return t.float()
+
+            def _tf_normalize(tensor, mean, std):
+                import torch as _torch
+                mean = _torch.tensor(mean).view(-1, 1, 1)
+                std = _torch.tensor(std).view(-1, 1, 1)
+                return (tensor - mean) / std
+
+            functional.resize = _tf_resize
+            functional.crop = _tf_crop
+            functional.to_tensor = _tf_to_tensor
+            functional.normalize = _tf_normalize
+            transforms.functional = functional
             torchvision.transforms = transforms
             sys.modules["torchvision"] = torchvision
             sys.modules["torchvision.transforms"] = transforms
+            sys.modules["torchvision.transforms.functional"] = functional

@@ -1,0 +1,168 @@
+"""Training driver — parity with the reference train loop (train.py:140-513).
+
+yaml config -> VKITTI (+optional GoogleLandmarks) loaders -> frozen-encoder
+AdamW + cosine LR -> bf16 train steps (no GradScaler needed on TPU) ->
+per-epoch validation (clip lstsq AbsRel/delta1/TAE, train.py:340-479) ->
+best/latest checkpointing with early-stop patience.
+
+TPU-native: the step is one jitted graph (training/train_state.py), batches
+stream through a prefetching host loader, and params/batches can be sharded
+over a mesh (parallel/mesh.py) for multi-chip DP/TP.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+class MetricsLogger:
+    """wandb-equivalent: stdout + JSONL file (wandb is not in this image)."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "metrics.jsonl")
+
+    def log(self, metrics: dict, step: int):
+        rec = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(" ".join(f"{k}={v:.5f}" if isinstance(v, float) else f"{k}={v}"
+                       for k, v in rec.items()))
+
+
+def train(config_path: str = "configs/config.yaml", data_root: str = None,
+          google_image_root: str = None, google_depth_root: str = None,
+          out_dir: str = "./train_out", max_steps: int = -1,
+          resume: bool = False, mesh=None):
+    import yaml
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import get_model_config
+    from ..data import CombinedDataset, DataLoader, VKITTIVideoDataset
+    from ..models.video_depth import init_params
+    from ..training import checkpoint as ckpt
+    from ..training.train_state import (TrainConfig, create_train_state,
+                                        eval_step, train_step)
+    from ..training.validate import metric_val
+
+    with open(config_path) as f:
+        hp = yaml.safe_load(f)["hyper_parameter"]
+
+    clip_len = int(hp.get("clip_len", 20))
+    tc = TrainConfig(
+        learning_rate=float(hp.get("learning_rate", 1e-4)),
+        epochs=int(hp.get("epochs", 500)),
+        ratio_ssi=float(hp.get("ratio_ssi", 1.0)),
+        ratio_tgm=float(hp.get("ratio_tgm", 10.0)),
+        ratio_ssi_image=float(hp.get("ratio_ssi_image", 0.5)),
+        ssi_variant=hp.get("ssi_variant", "lstsq"),
+        compute_dtype=hp.get("compute_dtype", "bfloat16"),
+    )
+    cfg = get_model_config(hp.get("encoder", "vits"), num_frames=clip_len)
+    batch_size = int(hp.get("batch_size", 1))
+    patience = int(hp.get("patient", 5))
+
+    train_ds = VKITTIVideoDataset(data_root, clip_len=clip_len, split="train")
+    val_ds = VKITTIVideoDataset(data_root, clip_len=clip_len, split="val")
+    if google_image_root:
+        train_ds = CombinedDataset(train_ds, google_image_root, google_depth_root)
+    train_loader = DataLoader(train_ds, batch_size=batch_size, shuffle=True)
+    val_loader = DataLoader(val_ds, batch_size=1, shuffle=False)
+
+    params = init_params(0, cfg)
+    state = create_train_state(params, tc)
+    logger = MetricsLogger(out_dir)
+
+    start_epoch, best_val, trial = 0, float("inf"), 0
+    if resume:
+        restored = ckpt.load_checkpoint(out_dir, "latest_checkpoint", template=state)
+        if restored is not None:
+            from ..training.train_state import TrainState
+            state = TrainState(step=jnp.asarray(restored["step"]),
+                               params=restored["params"],
+                               opt_state=restored["opt_state"])
+            extra = restored["extra"]
+            start_epoch = int(extra["epoch"]) + 1
+            best_val = float(extra["best_val_loss"])
+            trial = int(extra["trial"])
+            print(f"resumed from epoch {start_epoch}")
+
+    if mesh is not None:
+        from ..parallel import shard_batch, shard_params
+        state = create_train_state(shard_params(state.params, mesh), tc)
+
+    step_count = 0
+    for epoch in range(start_epoch, tc.epochs):
+        epoch_loss, nb = 0.0, 0
+        for batch in train_loader:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()
+                     if k in ("video", "gt", "mask")}
+            if mesh is not None:
+                from ..parallel import shard_batch
+                batch = shard_batch(batch, mesh)
+            state, metrics = train_step(state, batch, cfg, tc)
+            epoch_loss += float(metrics["loss"])
+            nb += 1
+            step_count += 1
+            if max_steps > 0 and step_count >= max_steps:
+                break
+        logger.log({"train_loss": epoch_loss / max(nb, 1), "epoch": epoch},
+                   step_count)
+
+        # -- validation (train.py:340-479) --
+        val_losses, absrels, delta1s, taes = [], [], [], []
+        for batch in val_loader:
+            jb = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k in ("video", "gt", "mask")}
+            val_losses.append(float(eval_step(state, jb, cfg, tc)["loss"]))
+            from ..models.video_depth import forward
+            dtype = jnp.bfloat16 if tc.compute_dtype == "bfloat16" else jnp.float32
+            cast = jax.tree.map(lambda a: a.astype(dtype)
+                                if a.dtype == jnp.float32 else a, state.params)
+            pred = np.asarray(forward(cast, jb["video"].astype(dtype), cfg))
+            a, d1, t = metric_val(pred[0], batch["depth"][0],
+                                  batch["extrinsics"][0], batch["intrinsics"][0])
+            absrels.append(a), delta1s.append(d1), taes.append(t)
+        val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
+        logger.log({"val_loss": val_loss, "absrel": np.mean(absrels),
+                    "delta1": np.mean(delta1s), "tae": np.mean(taes),
+                    "epoch": epoch}, step_count)
+
+        extra = {"epoch": epoch, "best_val_loss": best_val, "trial": trial}
+        ckpt.save_checkpoint(out_dir, "latest_checkpoint", state, extra)
+        if val_loss < best_val:
+            best_val, trial = val_loss, 0
+            ckpt.save_checkpoint(out_dir, "best_checkpoint", state,
+                                 {**extra, "best_val_loss": best_val})
+        else:
+            trial += 1
+            if trial >= patience:
+                print(f"early stop at epoch {epoch} (patience {patience})")
+                break
+        if max_steps > 0 and step_count >= max_steps:
+            break
+    return state
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="configs/config.yaml")
+    parser.add_argument("--data_root", required=True)
+    parser.add_argument("--google_image_root", default=None)
+    parser.add_argument("--google_depth_root", default=None)
+    parser.add_argument("--out_dir", default="./train_out")
+    parser.add_argument("--max_steps", type=int, default=-1)
+    parser.add_argument("--resume", action="store_true")
+    args = parser.parse_args(argv)
+    train(args.config, args.data_root, args.google_image_root,
+          args.google_depth_root, args.out_dir, args.max_steps, args.resume)
+
+
+if __name__ == "__main__":
+    main()
