@@ -1,0 +1,38 @@
+"""Output writers: PLY point clouds and EXR roundtrips."""
+import numpy as np
+
+from video_depth_anything_tpu.utils.exr import read_exr_z, write_exr_z
+from video_depth_anything_tpu.utils.pointcloud import (read_ply,
+                                                       unproject_depth,
+                                                       write_ply)
+
+
+def test_exr_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    depth = rng.random((37, 53)).astype(np.float32) * 80
+    path = str(tmp_path / "d.exr")
+    write_exr_z(path, depth)
+    back = read_exr_z(path)
+    np.testing.assert_array_equal(back, depth)
+
+
+def test_unproject_pinhole():
+    depth = np.full((10, 16), 2.0, np.float32)
+    pts, _ = unproject_depth(depth, focal_x=8.0, focal_y=8.0)
+    assert pts.shape == (160, 3)
+    np.testing.assert_allclose(pts[:, 2], 2.0)
+    # center pixel ~ optical axis
+    center = pts.reshape(10, 16, 3)[5, 8]
+    np.testing.assert_allclose(center[:2], [0.0, 0.0], atol=0.25 * 2)
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    depth = rng.random((6, 8)).astype(np.float32) * 10
+    color = rng.integers(0, 255, (6, 8, 3), np.uint8)
+    pts, cols = unproject_depth(depth, 5.0, 5.0, color)
+    path = str(tmp_path / "p.ply")
+    write_ply(path, pts, cols)
+    rp, rc = read_ply(path)
+    np.testing.assert_allclose(rp, pts, rtol=1e-6)
+    np.testing.assert_allclose(rc, cols, atol=1 / 255.0)
