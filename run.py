@@ -85,11 +85,12 @@ def main():
                             depths=depths)
         print(f"wrote {stem}_depths.npz")
     if args.save_exr:
-        from video_depth_anything_tpu.utils.exr import write_exr_z
+        from video_depth_anything_tpu.utils.exr import write_exr_batch
         exr_dir = os.path.join(args.output_dir, stem + "_depths_exr")
         os.makedirs(exr_dir, exist_ok=True)
-        for i, d in enumerate(depths):
-            write_exr_z(os.path.join(exr_dir, f"frame_{i:05d}.exr"), d)
+        paths = [os.path.join(exr_dir, f"frame_{i:05d}.exr")
+                 for i in range(len(depths))]
+        write_exr_batch(paths, depths, compression="zip")
         print(f"wrote {len(depths)} EXR frames to {exr_dir}")
 
 

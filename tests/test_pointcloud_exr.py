@@ -16,6 +16,43 @@ def test_exr_roundtrip(tmp_path):
     np.testing.assert_array_equal(back, depth)
 
 
+def test_exr_native_zip_roundtrip(tmp_path):
+    """Native C++ codec (ZIP/ZIPS) -> pure-python reader."""
+    import pytest
+
+    from video_depth_anything_tpu.native import load
+
+    if load() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(1)
+    depth = (rng.random((45, 61)).astype(np.float32) * 10).round(3)
+    for comp in ("zips", "zip"):
+        path = str(tmp_path / f"d_{comp}.exr")
+        write_exr_z(path, depth, compression=comp)
+        back = read_exr_z(path)
+        np.testing.assert_array_equal(back, depth)
+    # compression actually shrinks smooth data
+    smooth = np.tile(np.linspace(0, 1, 61, dtype=np.float32), (45, 1))
+    p0 = str(tmp_path / "s0.exr")
+    p1 = str(tmp_path / "s1.exr")
+    write_exr_z(p0, smooth, compression="none")
+    write_exr_z(p1, smooth, compression="zip")
+    import os
+    assert os.path.getsize(p1) < os.path.getsize(p0)
+    np.testing.assert_array_equal(read_exr_z(p1), smooth)
+
+
+def test_exr_batch_writer(tmp_path):
+    from video_depth_anything_tpu.utils.exr import write_exr_batch
+
+    rng = np.random.default_rng(2)
+    depths = rng.random((3, 20, 30)).astype(np.float32)
+    paths = [str(tmp_path / f"f{i}.exr") for i in range(3)]
+    write_exr_batch(paths, depths)
+    for i, p in enumerate(paths):
+        np.testing.assert_array_equal(read_exr_z(p), depths[i])
+
+
 def test_unproject_pinhole():
     depth = np.full((10, 16), 2.0, np.float32)
     pts, _ = unproject_depth(depth, focal_x=8.0, focal_y=8.0)

@@ -37,6 +37,7 @@ class VideoDepthPipeline:
         self.use_pallas = use_pallas
         self._cast_cache: dict = {}
         self._forward_jit = {}
+        self.timer = None  # set by infer_video_depth(collect_timings=True)
 
     # -- internals ----------------------------------------------------------
     def _params_in(self, dtype):
@@ -70,12 +71,16 @@ class VideoDepthPipeline:
     # -- public API ----------------------------------------------------------
     def infer_video_depth(self, frames, target_fps: float = -1,
                           input_size: int = 518, fp32: bool = False,
-                          windows_per_batch: int = 1):
+                          windows_per_batch: int = 1,
+                          collect_timings: bool = False):
         """frames: [N, H, W, 3] uint8 (or float in [0,1]).
 
         Returns (depths [N, H, W] float32, target_fps) — same contract as the
-        reference (video_depth.py:166,254).
+        reference (video_depth.py:166,254). With collect_timings=True,
+        per-window wall-clock stats land in self.timer.summary().
         """
+        from ..utils.profiling import WindowTimer
+        self.timer = WindowTimer() if collect_timings else None
         frames = np.asarray(frames)
         n, src_h, src_w = frames.shape[0], frames.shape[1], frames.shape[2]
         eff = preprocess.effective_input_size(src_h, src_w, input_size)
@@ -92,13 +97,19 @@ class VideoDepthPipeline:
         outputs = []
         carry = None
         last_tail = None
+        import contextlib
+        span = self.timer.span if self.timer else (lambda _: contextlib.nullcontext())
         for start in range(0, k_total, c):
             sel = idx[start:start + c]
             r = sel.shape[0]
             if r < c:  # pad chunk to the compiled shape; extra results dropped
                 sel = np.concatenate([sel, np.repeat(sel[-1:], c - r, axis=0)])
-            win = frames[sel]                         # [C, 32, H, W, 3]
-            depths = fwd(params, jnp.asarray(win))    # [C, 32, H, W] fp32
+            with span("gather_upload"):
+                win = jnp.asarray(frames[sel])        # [C, 32, H, W, 3]
+            with span("window_forward"):
+                depths = fwd(params, win)             # [C, 32, H, W] fp32
+                if self.timer:
+                    jax.block_until_ready(depths)
             if carry is None:
                 carry, emit0 = _stitch_first_jit(depths[0])
                 outputs.append(np.asarray(emit0))
