@@ -67,6 +67,7 @@ class ModelConfig:
     encoder: str = "vitl"
     features: int = 256
     out_channels: Tuple[int, ...] = (256, 512, 1024, 1024)
+    use_bn: bool = False
     use_clstoken: bool = False
     num_frames: int = INFER_LEN
     pe: str = "ape"                      # temporal positional embedding

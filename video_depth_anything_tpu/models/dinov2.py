@@ -65,7 +65,19 @@ def interpolate_pos_encoding(pos_embed: jax.Array, ph: int, pw: int,
     return jnp.concatenate([cls_pos, patch_pos], axis=1)
 
 
-def _block_step(carry, bp, *, num_heads: int, use_pallas):
+def _ffn(bp, y, ffn_layer: str):
+    """MLP (mlp.py:17-41) or fused SwiGLU (swiglu_ffn.py:13-63, vitg)."""
+    if ffn_layer == "mlp":
+        y = vnn.linear(bp["mlp"]["fc1"], y)
+        y = vnn.gelu(y)
+        return vnn.linear(bp["mlp"]["fc2"], y)
+    # swiglufused: w12 -> split -> silu(x1)*x2 -> w3
+    h = vnn.linear(bp["mlp"]["w12"], y)
+    x1, x2 = jnp.split(h, 2, axis=-1)
+    return vnn.linear(bp["mlp"]["w3"], jax.nn.silu(x1) * x2)
+
+
+def _block_step(carry, bp, *, num_heads: int, use_pallas, ffn_layer="mlp"):
     """One pre-norm ViT block (reference dinov2_layers/block.py:82-107)."""
     x = carry
     n, s, d = x.shape
@@ -89,9 +101,7 @@ def _block_step(carry, bp, *, num_heads: int, use_pallas):
     x = x + bp["ls1"]["gamma"].astype(x.dtype) * o
 
     y = vnn.layer_norm(bp["norm2"], x, eps=1e-6)
-    y = vnn.linear(bp["mlp"]["fc1"], y)
-    y = vnn.gelu(y)
-    y = vnn.linear(bp["mlp"]["fc2"], y)
+    y = _ffn(bp, y, ffn_layer)
     x = x + bp["ls2"]["gamma"].astype(x.dtype) * y
     return x, None
 
@@ -120,7 +130,8 @@ def get_intermediate_layers(params, x: jax.Array, cfg: ViTConfig,
     pos = interpolate_pos_encoding(params["pos_embed"], ph, pw, cfg)
     tokens = tokens + pos.astype(tokens.dtype)
 
-    step = partial(_block_step, num_heads=cfg.num_heads, use_pallas=use_pallas)
+    step = partial(_block_step, num_heads=cfg.num_heads, use_pallas=use_pallas,
+                   ffn_layer=cfg.ffn_layer)
     outs = []
     start = 0
     for t in taps:
@@ -164,6 +175,13 @@ def init_encoder_params(rng: np.random.Generator, cfg: ViTConfig):
                 "bias": np.zeros((d,), np.float32)}
 
     hidden = int(d * cfg.mlp_ratio)
+    if cfg.ffn_layer == "mlp":
+        def ffn():
+            return {"fc1": lin(d, hidden), "fc2": lin(hidden, d)}
+    else:  # swiglufused hidden sizing (swiglu_ffn.py:54-57)
+        sw_hidden = (int(hidden * 2 / 3) + 7) // 8 * 8
+        def ffn():
+            return {"w12": lin(d, 2 * sw_hidden), "w3": lin(sw_hidden, d)}
     block_list = []
     for _ in range(cfg.depth):
         block_list.append({
@@ -176,10 +194,7 @@ def init_encoder_params(rng: np.random.Generator, cfg: ViTConfig):
             },
             "ls1": {"gamma": np.full((d,), cfg.init_values, np.float32)},
             "norm2": ln(),
-            "mlp": {
-                "fc1": lin(d, hidden),
-                "fc2": lin(hidden, d),
-            },
+            "mlp": ffn(),
             "ls2": {"gamma": np.full((d,), cfg.init_values, np.float32)},
         })
     blocks = jax.tree.map(lambda *xs: np.stack(xs), *block_list)

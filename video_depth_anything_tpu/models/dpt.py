@@ -9,30 +9,45 @@ Param tree mirrors the torch module paths (see utils/torch_convert.py).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import nn as vnn
 from ..ops.resize import resize_bilinear_align_corners
 
 
-def residual_conv_unit(p, x):
-    """ResidualConvUnit (util/blocks.py:37-91): relu-conv-relu-conv + skip."""
+def _batch_norm(p, x, eps: float = 1e-5):
+    """Inference-mode BatchNorm2d over channels-last (running statistics)."""
+    inv = jax.lax.rsqrt(p["var"].astype(jnp.float32) + eps)
+    scale = (p["scale"].astype(jnp.float32) * inv).astype(x.dtype)
+    bias = (p["bias"].astype(jnp.float32)
+            - p["mean"].astype(jnp.float32) * p["scale"].astype(jnp.float32) * inv
+            ).astype(x.dtype)
+    return x * scale + bias
+
+
+def residual_conv_unit(p, x, use_bn: bool = False):
+    """ResidualConvUnit (util/blocks.py:37-91): relu-conv[-bn]-relu-conv[-bn] + skip."""
     y = jnp.maximum(x, 0)
     y = vnn.conv2d(p["conv1"], y, stride=1, padding=1)
+    if use_bn:
+        y = _batch_norm(p["bn1"], y)
     y = jnp.maximum(y, 0)
     y = vnn.conv2d(p["conv2"], y, stride=1, padding=1)
+    if use_bn:
+        y = _batch_norm(p["bn2"], y)
     return y + x
 
 
-def feature_fusion_block(p, x, skip=None, size=None):
+def feature_fusion_block(p, x, skip=None, size=None, use_bn: bool = False):
     """FeatureFusionBlock (util/blocks.py:94-162), align_corners=True.
 
     size=None means scale_factor=2 (refinenet1, dpt.py:153).
     """
     out = x
     if skip is not None:
-        out = out + residual_conv_unit(p["resConfUnit1"], skip)
-    out = residual_conv_unit(p["resConfUnit2"], out)
+        out = out + residual_conv_unit(p["resConfUnit1"], skip, use_bn)
+    out = residual_conv_unit(p["resConfUnit2"], out, use_bn)
     if size is None:
         size = (2 * out.shape[-3], 2 * out.shape[-2])
     out = resize_bilinear_align_corners(out, size)
@@ -49,14 +64,28 @@ def scratch_rn(p, feats):
 
 
 def output_head(p, path_1, out_hw, fp32_island: bool = True):
-    """output_conv1 -> 14x bilinear upsample -> output_conv2 in fp32
-    (dpt_temporal.py:93-100: the final convs run outside autocast)."""
+    """output_conv1 -> 14x bilinear upsample -> output_conv2 fp32 island
+    (dpt_temporal.py:93-100: the final convs run outside autocast).
+
+    bf16 variant of the island: the reference's fp32 island guards against
+    fp16's narrow exponent; bf16 shares fp32's exponent, so the 3x3 conv at
+    full output resolution (the expensive one) keeps bf16 storage with fp32
+    MXU accumulation, and only the cheap tail (ReLU + 1x1 conv) runs in
+    fp32. Full-fp32 inputs take the exact reference path.
+    """
     out = vnn.conv2d(p["scratch"]["output_conv1"], path_1, stride=1, padding=1)
     out = resize_bilinear_align_corners(out, out_hw)
-    if fp32_island:
-        out = out.astype(jnp.float32)
-    out = vnn.conv2d(p["scratch"]["output_conv2"]["0"], out, stride=1, padding=1)
-    out = jnp.maximum(out, 0)
+    if fp32_island and out.dtype == jnp.float32:
+        out = vnn.conv2d(p["scratch"]["output_conv2"]["0"], out,
+                         stride=1, padding=1)
+    else:
+        w = p["scratch"]["output_conv2"]["0"]
+        out = jax.lax.conv_general_dilated(
+            out, w["w"].astype(out.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        out = out + w["b"].astype(jnp.float32)
+    out = jnp.maximum(out, 0).astype(jnp.float32)
     out = vnn.conv2d(p["scratch"]["output_conv2"]["2"], out, stride=1, padding=0)
     out = jnp.maximum(out, 0)
     return out  # [N, H14, W14, 1] fp32

@@ -51,8 +51,11 @@ def _apply_rope(x, freqs_cis):
     return out.astype(x.dtype)
 
 
-def _temporal_attention(p, x, num_heads: int, pe: str):
+def _temporal_attention(p, x, num_heads: int, pe: str,
+                        use_pallas: bool | None = None):
     """TemporalAttention.forward (motion_module.py:230-297) on [BD, T, C]."""
+    import jax
+
     bd, t, c = x.shape
     if pe == "ape":
         x = x + p["pos_encoder"]["pe"][:, :t].astype(x.dtype)
@@ -63,10 +66,17 @@ def _temporal_attention(p, x, num_heads: int, pe: str):
         q = _apply_rope(q, p["_freqs_cis"])
         k = _apply_rope(k, p["_freqs_cis"])
     dh = c // num_heads
-    q = q.reshape(bd, t, num_heads, dh).transpose(0, 2, 1, 3)
-    k = k.reshape(bd, t, num_heads, dh).transpose(0, 2, 1, 3)
-    v = v.reshape(bd, t, num_heads, dh).transpose(0, 2, 1, 3)
-    o = temporal_mha(q, k, v).transpose(0, 2, 1, 3).reshape(bd, t, c)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from ..ops.pallas_temporal_attention import temporal_flash_attention
+        o = temporal_flash_attention(q, k, v, num_heads=num_heads,
+                                     scale=dh ** -0.5)
+    else:
+        q = q.reshape(bd, t, num_heads, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(bd, t, num_heads, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(bd, t, num_heads, dh).transpose(0, 2, 1, 3)
+        o = temporal_mha(q, k, v).transpose(0, 2, 1, 3).reshape(bd, t, c)
     return vnn.linear(p["to_out"]["0"], o)
 
 

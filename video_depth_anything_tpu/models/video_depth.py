@@ -26,16 +26,26 @@ from . import dinov2, dpt
 from .motion import sinusoidal_pe, temporal_module
 
 
-def _head_forward(p, taps, ph: int, pw: int, b: int, t: int, cfg: ModelConfig,
+def _head_forward(p, feats, ph: int, pw: int, b: int, t: int, cfg: ModelConfig,
                   fp32_island: bool = True):
     """DPTHeadTemporal.forward (dpt_temporal.py:53-114).
 
-    taps: list of 4 patch-token arrays [B*T, P, D].
+    feats: list of 4 (patch_tokens [B*T, P, D], cls [B*T, D]) tuples.
     Returns depth [B*T, 14*ph, 14*pw, 1] (fp32 when fp32_island).
     """
-    n = taps[0].shape[0]
-    d = taps[0].shape[-1]
-    grids = [x.reshape(n, ph, pw, d) for x in taps]
+    n = feats[0][0].shape[0]
+    d = feats[0][0].shape[-1]
+    if cfg.use_clstoken:
+        # readout projection (dpt.py:92-98,129-132)
+        grids = []
+        for i, (x, cls) in enumerate(feats):
+            readout = jnp.broadcast_to(cls[:, None, :], x.shape)
+            y = jnp.concatenate([x, readout], axis=-1)
+            y = vnn.linear(p["readout_projects"][str(i)]["0"], y)
+            y = vnn.gelu(y)
+            grids.append(y.reshape(n, ph, pw, d))
+    else:
+        grids = [x.reshape(n, ph, pw, d) for x, _ in feats]
 
     layer_1 = vnn.conv_transpose2d(
         p["resize_layers"]["0"], vnn.conv2d(p["projects"]["0"], grids[0]), stride=4)
@@ -57,14 +67,15 @@ def _head_forward(p, taps, ph: int, pw: int, b: int, t: int, cfg: ModelConfig,
 
     sc = p["scratch"]
     path_4 = dpt.feature_fusion_block(sc["refinenet4"], l4rn,
-                                      size=l3rn.shape[-3:-1])
+                                      size=l3rn.shape[-3:-1], use_bn=cfg.use_bn)
     path_4 = temporal_module(mm["2"], path_4, b, t, **mkw)
     path_3 = dpt.feature_fusion_block(sc["refinenet3"], path_4, l3rn,
-                                      size=l2rn.shape[-3:-1])
+                                      size=l2rn.shape[-3:-1], use_bn=cfg.use_bn)
     path_3 = temporal_module(mm["3"], path_3, b, t, **mkw)
     path_2 = dpt.feature_fusion_block(sc["refinenet2"], path_3, l2rn,
-                                      size=l1rn.shape[-3:-1])
-    path_1 = dpt.feature_fusion_block(sc["refinenet1"], path_2, l1rn)
+                                      size=l1rn.shape[-3:-1], use_bn=cfg.use_bn)
+    path_1 = dpt.feature_fusion_block(sc["refinenet1"], path_2, l1rn,
+                                      use_bn=cfg.use_bn)
 
     return dpt.output_head(p, path_1, (14 * ph, 14 * pw), fp32_island)
 
@@ -81,8 +92,7 @@ def forward(params, x: jax.Array, cfg: ModelConfig,
     feats = dinov2.get_intermediate_layers(
         params["pretrained"], flat, cfg.vit, cfg.intermediate_layer_idx,
         use_pallas=use_pallas)
-    taps = [f[0] for f in feats]
-    depth = _head_forward(params["head"], taps, ph, pw, b, t, cfg, fp32_island)
+    depth = _head_forward(params["head"], feats, ph, pw, b, t, cfg, fp32_island)
     depth = resize_bilinear_align_corners(depth.astype(jnp.float32), (h, w))
     depth = jnp.maximum(depth, 0.0)
     return depth[..., 0].reshape(b, t, h, w)
@@ -127,16 +137,25 @@ def _ln_init(d):
     return {"scale": np.ones((d,), np.float32), "bias": np.zeros((d,), np.float32)}
 
 
-def _rcu_init(rng, features):
-    return {"conv1": _conv_init(rng, 3, 3, features, features),
-            "conv2": _conv_init(rng, 3, 3, features, features)}
+def _bn_init(c):
+    return {"scale": np.ones((c,), np.float32), "bias": np.zeros((c,), np.float32),
+            "mean": np.zeros((c,), np.float32), "var": np.ones((c,), np.float32)}
 
 
-def _fusion_init(rng, features):
+def _rcu_init(rng, features, use_bn=False):
+    p = {"conv1": _conv_init(rng, 3, 3, features, features),
+         "conv2": _conv_init(rng, 3, 3, features, features)}
+    if use_bn:
+        p["bn1"] = _bn_init(features)
+        p["bn2"] = _bn_init(features)
+    return p
+
+
+def _fusion_init(rng, features, use_bn=False):
     return {
         "out_conv": _conv_init(rng, 1, 1, features, features),
-        "resConfUnit1": _rcu_init(rng, features),
-        "resConfUnit2": _rcu_init(rng, features),
+        "resConfUnit1": _rcu_init(rng, features, use_bn),
+        "resConfUnit2": _rcu_init(rng, features, use_bn),
     }
 
 
@@ -190,7 +209,8 @@ def init_head_params(rng: np.random.Generator, cfg: ModelConfig):
         "scratch": {
             **{f"layer{i+1}_rn": _conv_init(rng, 3, 3, oc[i], f, bias=False)
                for i in range(4)},
-            **{f"refinenet{i}": _fusion_init(rng, f) for i in (1, 2, 3, 4)},
+            **{f"refinenet{i}": _fusion_init(rng, f, cfg.use_bn)
+               for i in (1, 2, 3, 4)},
             "output_conv1": _conv_init(rng, 3, 3, f, f // 2),
             "output_conv2": {
                 "0": _conv_init(rng, 3, 3, f // 2, 32),
@@ -204,6 +224,9 @@ def init_head_params(rng: np.random.Generator, cfg: ModelConfig):
             "3": _motion_init(rng, f, cfg),
         },
     }
+    if cfg.use_clstoken:
+        p["readout_projects"] = {
+            str(i): {"0": _linear_init(rng, 2 * d, d)} for i in range(4)}
     return p
 
 

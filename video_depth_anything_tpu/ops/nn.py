@@ -53,7 +53,14 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-6):
 
 
 def gelu(x):
-    """Exact (erf) GELU, matching torch.nn.GELU default."""
+    """GELU matching torch.nn.GELU (exact erf) in full precision.
+
+    In bf16 the tanh approximation is used: its error (~1e-3 relative) is
+    below bf16 rounding, and erf is markedly more expensive on the VPU —
+    the same kind of policy torch autocast applies to transcendentals.
+    """
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
 
 

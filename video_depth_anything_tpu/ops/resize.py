@@ -143,8 +143,11 @@ def resize_bilinear_align_corners(x: jax.Array, out_hw: tuple[int, int],
     if (h, w) == (ho, wo):
         return x
     if use_matmul is None:
-        # Matmul cost grows with in*out; gathers win for big maps.
-        use_matmul = max(h * ho, w * wo) <= 256 * 256
+        # MXU matmuls beat XLA's mid-axis gathers on TPU for every size this
+        # model hits; gathers are only preferable on CPU backends.
+        import jax as _jax
+        use_matmul = _jax.default_backend() != "cpu" or \
+            max(h * ho, w * wo) <= 256 * 256
     if use_matmul:
         return _apply_separable(
             x, linear_resize_matrix(h, ho, True), linear_resize_matrix(w, wo, True)

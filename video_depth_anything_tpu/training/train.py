@@ -37,7 +37,8 @@ class MetricsLogger:
 def train(config_path: str = "configs/config.yaml", data_root: str = None,
           google_image_root: str = None, google_depth_root: str = None,
           out_dir: str = "./train_out", max_steps: int = -1,
-          resume: bool = False, mesh=None):
+          resume: bool = False, mesh=None, model_cfg=None,
+          resize_size: int = 518):
     import yaml
 
     import jax
@@ -64,12 +65,16 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
         ssi_variant=hp.get("ssi_variant", "lstsq"),
         compute_dtype=hp.get("compute_dtype", "bfloat16"),
     )
-    cfg = get_model_config(hp.get("encoder", "vits"), num_frames=clip_len)
+    cfg = model_cfg or get_model_config(hp.get("encoder", "vits"),
+                                        num_frames=clip_len)
+    clip_len = cfg.num_frames
     batch_size = int(hp.get("batch_size", 1))
     patience = int(hp.get("patient", 5))
 
-    train_ds = VKITTIVideoDataset(data_root, clip_len=clip_len, split="train")
-    val_ds = VKITTIVideoDataset(data_root, clip_len=clip_len, split="val")
+    train_ds = VKITTIVideoDataset(data_root, clip_len=clip_len, split="train",
+                                  resize_size=resize_size)
+    val_ds = VKITTIVideoDataset(data_root, clip_len=clip_len, split="val",
+                                resize_size=resize_size)
     if google_image_root:
         train_ds = CombinedDataset(train_ds, google_image_root, google_depth_root)
     train_loader = DataLoader(train_ds, batch_size=batch_size, shuffle=True)
@@ -117,6 +122,7 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
 
         # -- validation (train.py:340-479) --
         val_losses, absrels, delta1s, taes = [], [], [], []
+        first_val = True
         for batch in val_loader:
             jb = {k: jnp.asarray(v) for k, v in batch.items()
                   if k in ("video", "gt", "mask")}
@@ -129,6 +135,12 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
             a, d1, t = metric_val(pred[0], batch["depth"][0],
                                   batch["extrinsics"][0], batch["intrinsics"][0])
             absrels.append(a), delta1s.append(d1), taes.append(t)
+            if first_val:  # visual regression dump (train.py:387-435)
+                from ..training.visualize import dump_val_frames
+                dump_val_frames(os.path.join(out_dir, "val_vis"), epoch,
+                                batch["video"][0], batch["gt"][0],
+                                batch["mask"][0], pred[0])
+                first_val = False
         val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
         logger.log({"val_loss": val_loss, "absrel": np.mean(absrels),
                     "delta1": np.mean(delta1s), "tae": np.mean(taes),

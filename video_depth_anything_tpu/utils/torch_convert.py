@@ -90,6 +90,14 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray],
         if leaf == "pe":        # sinusoidal APE buffer
             _set(tree, parts[:-1] + ["pe"], v)
             continue
+        if leaf == "running_mean":   # BatchNorm buffers (use_bn heads)
+            _set(tree, parts[:-1] + ["mean"], v)
+            continue
+        if leaf == "running_var":
+            _set(tree, parts[:-1] + ["var"], v)
+            continue
+        if leaf == "num_batches_tracked":
+            continue
         if leaf in ("cls_token", "pos_embed", "mask_token", "register_tokens"):
             _set(tree, parts, v)
             continue
