@@ -43,10 +43,21 @@ class VideoDepthPipeline:
     def _params_in(self, dtype):
         key = jnp.dtype(dtype).name
         if key not in self._cast_cache:
-            self._cast_cache[key] = jax.tree.map(
+            cast = jax.tree.map(
                 lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
                 self.params)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_params
+                cast = shard_params(cast, self.mesh)
+            self._cast_cache[key] = cast
         return self._cast_cache[key]
+
+    def _put_windows(self, win):
+        if self.mesh is None:
+            return jnp.asarray(win)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P("data", *([None] * (win.ndim - 1)))
+        return jax.device_put(win, NamedSharding(self.mesh, spec))
 
     def _window_fn(self, net_hw, src_hw, dtype):
         """jitted: windows_u8 [C,32,H,W,3] -> depth [C,32,H,W] fp32."""
@@ -91,6 +102,9 @@ class VideoDepthPipeline:
         idx = windows.window_indices(n)              # [K, 32]
         k_total = idx.shape[0]
         c = max(1, min(windows_per_batch, k_total))
+        if self.mesh is not None:  # chunk must tile the data axis
+            nd = self.mesh.shape["data"]
+            c = -(-c // nd) * nd
         fwd = self._window_fn(net_hw, (src_h, src_w), dtype)
         scan = partial(_stitch_chunk, metric=self.cfg.metric)
 
@@ -105,7 +119,7 @@ class VideoDepthPipeline:
             if r < c:  # pad chunk to the compiled shape; extra results dropped
                 sel = np.concatenate([sel, np.repeat(sel[-1:], c - r, axis=0)])
             with span("gather_upload"):
-                win = jnp.asarray(frames[sel])        # [C, 32, H, W, 3]
+                win = self._put_windows(frames[sel])  # [C, 32, H, W, 3]
             with span("window_forward"):
                 depths = fwd(params, win)             # [C, 32, H, W] fp32
                 if self.timer:
