@@ -24,6 +24,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--encoder", default="vitl", choices=["vits", "vitl"])
     parser.add_argument("--frames", type=int, default=32)
+    parser.add_argument("--batch", type=int, default=1,
+                        help="windows per step (throughput mode; windows are "
+                             "embarrassingly parallel, SURVEY.md §5)")
     parser.add_argument("--size", type=int, default=518)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=3)
@@ -51,7 +54,7 @@ def main():
 
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal(
-            (1, args.frames, args.size, args.size, 3)), dtype)
+            (args.batch, args.frames, args.size, args.size, 3)), dtype)
 
     # Compile + warmup.
     fn(params, x).block_until_ready()
@@ -65,12 +68,14 @@ def main():
         times.append(time.perf_counter() - t0)
 
     p50 = sorted(times)[len(times) // 2]
-    ms_per_frame = p50 * 1000.0 / args.frames
+    ms_per_frame = p50 * 1000.0 / (args.frames * args.batch)
     print(json.dumps({
         "metric": f"{args.encoder}_ms_per_frame_{args.size}",
         "value": round(ms_per_frame, 3),
         "unit": "ms/frame",
         "vs_baseline": round(BASELINE_MS_PER_FRAME / ms_per_frame, 3),
+        "batch_windows": args.batch,
+        "fps_per_chip": round(1000.0 / ms_per_frame, 2),
     }))
 
 

@@ -67,7 +67,10 @@ def _temporal_attention(p, x, num_heads: int, pe: str,
         k = _apply_rope(k, p["_freqs_cis"])
     dh = c // num_heads
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # The (frame,head)-flattened kernel pays an 8x-inflated softmax for
+        # full-width MXU matmuls — a clear win for dh>=64 (C=1024 modules),
+        # a wash for dh=32 where the VPU dominates (profiled on v5e).
+        use_pallas = jax.default_backend() == "tpu" and dh >= 64
     if use_pallas:
         from ..ops.pallas_temporal_attention import temporal_flash_attention
         o = temporal_flash_attention(q, k, v, num_heads=num_heads,

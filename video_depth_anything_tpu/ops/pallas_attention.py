@@ -50,7 +50,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_actual: int):
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
-def flash_attention(q, k, v, *, scale: float, block_q: int = 256,
+def flash_attention(q, k, v, *, scale: float, block_q: int = 512,
                     interpret: bool = False):
     """Attention on [B, H, S, D]; returns [B, H, S, D]."""
     b, h, s_len, d = q.shape

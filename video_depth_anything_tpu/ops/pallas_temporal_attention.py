@@ -25,29 +25,31 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_SCORE_BUDGET = 6 * 1024 * 1024  # fp32 scores per grid step
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, num_heads: int,
-            block_p: int):
+def _kernel(q_ref, k_ref, v_ref, o_ref, scores, probs, *, scale: float,
+            num_heads: int, block_p: int):
+    """Three phases so the MXU never stalls on interleaved VPU softmaxes:
+    (1) unrolled per-pixel QK^T matmuls into a scratch score cube,
+    (2) one vectorized masked softmax over the whole block,
+    (3) unrolled per-pixel PV matmuls."""
     th = q_ref.shape[1]
     ids = jax.lax.broadcasted_iota(jnp.int32, (th, th), 0) % num_heads
     jds = jax.lax.broadcasted_iota(jnp.int32, (th, th), 1) % num_heads
-    same_head = ids == jds
+    same_head = (ids == jds)[None]
 
-    def body(p, _):
-        q = q_ref[p]          # [TH, dh]
-        k = k_ref[p]
-        v = v_ref[p]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        s = jnp.where(same_head, s, -jnp.inf)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+    for p in range(block_p):
+        scores[p] = jax.lax.dot_general(
+            q_ref[p], k_ref[p], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    s = jnp.where(same_head, scores[:] * scale, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    probs[:] = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(probs.dtype)
+
+    for p in range(block_p):
         o_ref[p] = jax.lax.dot_general(
-            probs, v, (((1,), (0,)), ((), ())),
+            probs[p], v_ref[p], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, block_p, body, 0)
 
 
 @functools.partial(jax.jit,
@@ -62,7 +64,8 @@ def temporal_flash_attention(q, k, v, *, num_heads: int, scale: float,
     dh = c // num_heads
     th = t * num_heads
 
-    block_p = max(1, _VMEM_SCORE_BUDGET // (th * th * 4))
+    # fp32 scores + low-precision probs scratch per block
+    block_p = max(1, _VMEM_SCORE_BUDGET // (th * th * (4 + q.dtype.itemsize)))
     block_p = min(block_p, p_total)
     p_pad = -(-p_total // block_p) * block_p
 
@@ -83,6 +86,10 @@ def temporal_flash_attention(q, k, v, *, num_heads: int, scale: float,
                                memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec((block_p, th, dh), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_p, th, th), jnp.float32),
+            pltpu.VMEM((block_p, th, th), q.dtype),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * p_pad * th * th * dh,
             bytes_accessed=4 * p_pad * th * dh * q.dtype.itemsize,
