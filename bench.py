@@ -50,21 +50,24 @@ def main():
 
     @jax.jit
     def fn(p, x):
-        return forward(p, x, cfg, use_pallas=use_pallas)
+        # Scalar readout: timing fetches it to host, which is robust against
+        # backends where block_until_ready returns before compute finishes.
+        out = forward(p, x, cfg, use_pallas=use_pallas)
+        return jnp.sum(out)
 
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal(
             (args.batch, args.frames, args.size, args.size, 3)), dtype)
 
     # Compile + warmup.
-    fn(params, x).block_until_ready()
+    float(fn(params, x))
     for _ in range(args.warmup):
-        fn(params, x).block_until_ready()
+        float(fn(params, x))
 
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        fn(params, x).block_until_ready()
+        float(fn(params, x))
         times.append(time.perf_counter() - t0)
 
     p50 = sorted(times)[len(times) // 2]

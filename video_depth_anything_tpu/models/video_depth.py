@@ -13,7 +13,6 @@ so it is intentionally not replicated (kept as a no-op arg for API parity).
 from __future__ import annotations
 
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

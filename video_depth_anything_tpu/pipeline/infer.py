@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import FRAME_STEP, INFER_LEN, InferConfig, ModelConfig
+from ..config import FRAME_STEP, INFER_LEN, ModelConfig
 from ..models import video_depth
 from ..ops.resize import resize_bilinear_align_corners
 from . import preprocess, stitch, windows

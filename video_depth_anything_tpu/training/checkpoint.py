@@ -6,9 +6,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import numpy as np
-
-
 def _ckptr():
     import orbax.checkpoint as ocp
     return ocp

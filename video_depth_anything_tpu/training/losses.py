@@ -10,7 +10,6 @@ Conventions match the reference call sites (train.py:304-320):
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -6,8 +6,6 @@ xyz+rgb point cloud o3d.io.write_point_cloud produces).
 """
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 
 
