@@ -27,22 +27,27 @@ _LANES = 128
 _MAX_S_PAD = 33 * 256  # VMEM guard: fp32 scores block = block_q*S_pad*4 bytes
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, s_actual: int):
-    q = q_ref[0, 0]                  # [bq, D]
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int):
+    """One-pass softmax, minimized VPU sweeps over the [bq, S_pad] scores
+    (the kernel is VPU-issue-bound, not MXU-bound): the query is pre-scaled
+    outside, the stabilizer max runs over raw scores (zero-padded keys give
+    score 0 >= nothing real needs excluding for *stability*), and the pad
+    mask is folded into the single exp sweep."""
+    q = q_ref[0, 0]                  # [bq, D], already scaled
     k = k_ref[0, 0]                  # [S_pad, D]
     v = v_ref[0, 0]                  # [S_pad, D]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )                                 # [bq, S_pad] fp32
-    s = s * scale
-    if s_actual < k.shape[0]:
-        key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(key_ids < s_actual, s, -jnp.inf)
-    # One-pass stable softmax in fp32 (whole key range is resident).
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
+    if s_actual < k.shape[0]:
+        key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        e = jnp.where(key_ids < s_actual, e, 0.0)
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    p = (e / denom).astype(v.dtype)
+    # denom can only underflow if every real score is << the padded 0s —
+    # pathological inputs; the epsilon keeps the kernel NaN-free there.
+    p = (e * (1.0 / jnp.maximum(denom, 1e-30))).astype(v.dtype)
     o = jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -58,6 +63,7 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 512,
     if s_pad > _MAX_S_PAD:
         from .attention import _xla_mha
         return _xla_mha(q, k, v, scale)
+    q = q * jnp.asarray(scale, q.dtype)  # folded here; fuses with the producer
     block_q = min(block_q, s_pad)
     # Pad seq so both the q-block grid and K/V tiles are lane-aligned.
     q_pad = -(-s_pad // block_q) * block_q
@@ -69,7 +75,7 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 512,
 
     grid = (b, h, q_pad // block_q)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, s_actual=s_len),
+        functools.partial(_attn_kernel, s_actual=s_len),
         out_shape=jax.ShapeDtypeStruct((b, h, q_pad, d), q.dtype),
         grid=grid,
         in_specs=[

@@ -25,12 +25,14 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_SCORE_BUDGET = 6 * 1024 * 1024  # fp32 scores per grid step
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, scores, probs, *, scale: float,
-            num_heads: int, block_p: int):
+def _kernel(q_ref, k_ref, v_ref, o_ref, scores, probs, *, num_heads: int,
+            block_p: int):
     """Three phases so the MXU never stalls on interleaved VPU softmaxes:
     (1) unrolled per-pixel QK^T matmuls into a scratch score cube,
-    (2) one vectorized masked softmax over the whole block,
-    (3) unrolled per-pixel PV matmuls."""
+    (2) one vectorized masked softmax over the whole block (mask folded
+        into the exp sweep; the raw row max — which may come from a
+        cross-head pair — is still a valid softmax stabilizer),
+    (3) unrolled per-pixel PV matmuls. Queries arrive pre-scaled."""
     th = q_ref.shape[1]
     ids = jax.lax.broadcasted_iota(jnp.int32, (th, th), 0) % num_heads
     jds = jax.lax.broadcasted_iota(jnp.int32, (th, th), 1) % num_heads
@@ -41,10 +43,11 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, scores, probs, *, scale: float,
             q_ref[p], k_ref[p], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    s = jnp.where(same_head, scores[:] * scale, -jnp.inf)
+    s = scores[:]
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    probs[:] = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(probs.dtype)
+    e = jnp.where(same_head, jnp.exp(s - m), 0.0)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    probs[:] = (e * (1.0 / jnp.maximum(denom, 1e-30))).astype(probs.dtype)
 
     for p in range(block_p):
         o_ref[p] = jax.lax.dot_general(
@@ -63,6 +66,7 @@ def temporal_flash_attention(q, k, v, *, num_heads: int, scale: float,
     p_total, t, c = q.shape
     dh = c // num_heads
     th = t * num_heads
+    q = q * jnp.asarray(scale, q.dtype)
 
     # fp32 scores + low-precision probs scratch per block
     block_p = max(1, _VMEM_SCORE_BUDGET // (th * th * (4 + q.dtype.itemsize)))
@@ -78,8 +82,7 @@ def temporal_flash_attention(q, k, v, *, num_heads: int, scale: float,
     qr, kr, vr = prep(q), prep(k), prep(v)
     grid = (p_pad // block_p,)
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, num_heads=num_heads,
-                          block_p=block_p),
+        functools.partial(_kernel, num_heads=num_heads, block_p=block_p),
         out_shape=jax.ShapeDtypeStruct((p_pad, th, dh), q.dtype),
         grid=grid,
         in_specs=[pl.BlockSpec((block_p, th, dh), lambda i: (i, 0, 0),
