@@ -74,6 +74,23 @@ def test_infer_video_depth_parity(setup):
     assert err < 2.5e-2, f"relative error {err}"
 
 
+def test_short_video_single_window(setup):
+    """Videos shorter than one window (reference pads with the last frame)."""
+    import torch
+
+    tm, cfg, params, frames = setup
+    short = frames[:5]
+    with torch.no_grad():
+        ref, _ = tm.infer_video_depth(short, target_fps=24,
+                                      input_size=INPUT_SIZE, device="cpu",
+                                      fp32=True)
+    pipe = VideoDepthPipeline(cfg, params, use_pallas=False)
+    got, _ = pipe.infer_video_depth(short, 24, input_size=INPUT_SIZE, fp32=True)
+    assert got.shape == ref.shape == (5, *SRC_HW)
+    scale = max(np.abs(ref).max(), 1e-3)
+    assert np.abs(got - ref).max() / scale < 1e-5
+
+
 def test_infer_chunked_matches_unchunked(setup):
     """windows_per_batch>1 (padded last chunk) must be identical."""
     tm, cfg, params, frames = setup

@@ -20,13 +20,26 @@ def linear(p, x):
 
 
 def layer_norm(p, x, eps: float = 1e-6):
-    """LayerNorm over the last axis; statistics in fp32 (autocast behavior)."""
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return y.astype(x.dtype)
+    """LayerNorm over the last axis; statistics in fp32 (autocast behavior).
+
+    In fp32 this is the exact reference computation. In bf16 the row
+    statistics still accumulate in fp32 but the normalization runs in bf16 —
+    the output is bf16 anyway, and the half-width elementwise sweeps matter
+    on the VPU-bound path between matmuls.
+    """
+    if x.dtype == jnp.float32:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + eps)
+        return y * p["scale"] + p["bias"]
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    # E[x^2] - E[x]^2 in fp32: stable enough here because LN inputs are
+    # pre-norm residual streams with O(1..30) magnitudes.
+    sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    var = sq - jnp.square(mean)
+    inv = jax.lax.rsqrt(var + eps).astype(x.dtype)   # [..., 1] row broadcast
+    y = (x - mean.astype(x.dtype)) * inv
+    return y * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
 
 
 def group_norm(p, x, num_groups: int = 32, eps: float = 1e-6):
