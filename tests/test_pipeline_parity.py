@@ -100,3 +100,15 @@ def test_infer_chunked_matches_unchunked(setup):
     b, _ = pipe.infer_video_depth(frames, input_size=INPUT_SIZE, fp32=True,
                                   windows_per_batch=2)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_keyframe_feature_cache_exact(setup):
+    """Cached keyframe encoder features must not change outputs: the
+    encoder is per-frame and re-injected inputs are identical frames."""
+    tm, cfg, params, frames = setup
+    pipe = VideoDepthPipeline(cfg, params, use_pallas=False)
+    a, _ = pipe.infer_video_depth(frames, input_size=INPUT_SIZE, fp32=True,
+                                  cache_keyframe_features=True)
+    b, _ = pipe.infer_video_depth(frames, input_size=INPUT_SIZE, fp32=True,
+                                  cache_keyframe_features=False)
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)

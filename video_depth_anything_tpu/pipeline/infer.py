@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import FRAME_STEP, INFER_LEN, ModelConfig
-from ..models import video_depth
+from ..config import FRAME_STEP, INFER_LEN, OVERLAP, ModelConfig
+from ..models import dinov2, video_depth
 from ..ops.resize import resize_bilinear_align_corners
 from . import preprocess, stitch, windows
 
@@ -79,11 +79,59 @@ class VideoDepthPipeline:
         self._forward_jit[key] = fn
         return fn
 
+    def _cached_fns(self, net_hw, src_hw, dtype):
+        """Keyframe-feature-cached path (windows_per_batch=1, single device).
+
+        The DINOv2 encoder is strictly per-frame, and each window's first
+        OVERLAP inputs are the previous window's inputs at KEYFRAMES
+        positions (video_depth.py:200-201) — so their encoder features are
+        identical and reusable. Per window this removes 10/32 of the
+        encoder work (the dominant cost) with bit-identical outputs; only
+        the temporal head sees all 32 frames.
+        """
+        from ..config import KEYFRAMES
+        key = ("cached", net_hw, src_hw, jnp.dtype(dtype).name)
+        if key in self._forward_jit:
+            return self._forward_jit[key]
+        cfg = self.cfg
+        use_pallas = self.use_pallas
+        ph, pw = net_hw[0] // cfg.vit.patch_size, net_hw[1] // cfg.vit.patch_size
+        kf = jnp.asarray(KEYFRAMES)
+
+        @jax.jit
+        def encode(params, frames_u8):
+            x = preprocess.preprocess_frames(frames_u8, net_hw, dtype=dtype)
+            feats = dinov2.get_intermediate_layers(
+                params["pretrained"], x, cfg.vit, cfg.intermediate_layer_idx,
+                use_pallas=use_pallas)
+            return [list(f) for f in feats]  # [n_taps][2] leaves [N,...]
+
+        @jax.jit
+        def head(params, feats):
+            depth = video_depth._head_forward(
+                params["head"], [tuple(f) for f in feats], ph, pw, 1,
+                INFER_LEN, cfg)
+            depth = resize_bilinear_align_corners(
+                depth.astype(jnp.float32), src_hw)
+            dd = depth[..., 0]
+            return jnp.maximum(dd, 0.0)[None]  # [1, 32, H, W]
+
+        @jax.jit
+        def reuse(prev_feats, new_feats):
+            return jax.tree.map(
+                lambda p, n: jnp.concatenate([p[kf], n], axis=0),
+                prev_feats, new_feats)
+
+        fns = (encode, head, reuse)
+        self._forward_jit[key] = fns
+        return fns
+
     # -- public API ----------------------------------------------------------
     def infer_video_depth(self, frames, target_fps: float = -1,
                           input_size: int = 518, fp32: bool = False,
                           windows_per_batch: int = 1,
-                          collect_timings: bool = False):
+                          collect_timings: bool = False,
+                          cache_keyframe_features: bool = True):
         """frames: [N, H, W, 3] uint8 (or float in [0,1]).
 
         Returns (depths [N, H, W] float32, target_fps) — same contract as the
@@ -105,12 +153,18 @@ class VideoDepthPipeline:
         if self.mesh is not None:  # chunk must tile the data axis
             nd = self.mesh.shape["data"]
             c = -(-c // nd) * nd
-        fwd = self._window_fn(net_hw, (src_h, src_w), dtype)
+        use_cache = (cache_keyframe_features and c == 1 and self.mesh is None)
+        if use_cache:
+            encode, head_fn, reuse = self._cached_fns(net_hw, (src_h, src_w),
+                                                      dtype)
+        else:
+            fwd = self._window_fn(net_hw, (src_h, src_w), dtype)
         scan = partial(_stitch_chunk, metric=self.cfg.metric)
 
         outputs = []
         carry = None
         last_tail = None
+        prev_feats = None
         import contextlib
         span = self.timer.span if self.timer else (lambda _: contextlib.nullcontext())
         for start in range(0, k_total, c):
@@ -118,10 +172,19 @@ class VideoDepthPipeline:
             r = sel.shape[0]
             if r < c:  # pad chunk to the compiled shape; extra results dropped
                 sel = np.concatenate([sel, np.repeat(sel[-1:], c - r, axis=0)])
-            with span("gather_upload"):
-                win = self._put_windows(frames[sel])  # [C, 32, H, W, 3]
             with span("window_forward"):
-                depths = fwd(params, win)             # [C, 32, H, W] fp32
+                if use_cache:
+                    if prev_feats is None:
+                        prev_feats = encode(params, jnp.asarray(frames[sel[0]]))
+                    else:
+                        new = encode(params,
+                                     jnp.asarray(frames[sel[0, OVERLAP:]]))
+                        prev_feats = reuse(prev_feats, new)
+                    depths = head_fn(params, prev_feats)  # [1, 32, H, W]
+                else:
+                    with span("gather_upload"):
+                        win = self._put_windows(frames[sel])  # [C,32,H,W,3]
+                    depths = fwd(params, win)                 # [C,32,H,W]
                 if self.timer:
                     jax.block_until_ready(depths)
             if carry is None:
