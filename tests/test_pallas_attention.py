@@ -21,6 +21,28 @@ def test_flash_attention_matches_xla(b, s, h, d):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("b,s,h,d", [(2, 300, 6, 64), (1, 130, 4, 64)])
+def test_flash_attention_packed_matches_xla(b, s, h, d):
+    from video_depth_anything_tpu.ops.pallas_attention import (
+        flash_attention_packed,
+    )
+
+    rng = np.random.default_rng(3)
+    c = h * d
+    q = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    scale = d ** -0.5
+    qh = q.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    ref = _xla_mha(qh, kh, vh, scale).transpose(0, 2, 1, 3).reshape(b, s, c)
+    got = flash_attention_packed(q, k, v, num_heads=h, scale=scale,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_flash_attention_padding_mask():
     """Padded key positions must not leak into the softmax."""
     rng = np.random.default_rng(1)

@@ -85,19 +85,31 @@ def _block_step(carry, bp, *, num_heads: int, use_pallas, ffn_layer="mlp"):
 
     y = vnn.layer_norm(bp["norm1"], x, eps=1e-6)
 
-    def head_proj(p):
-        # [N,S,D] @ [D,H,dh] -> [N,H,S,dh]: head split fused into the matmul.
-        w = p["w"].astype(y.dtype).reshape(d, num_heads, dh)
-        out = jnp.einsum("nsd,dhk->nhsk", y, w, preferred_element_type=y.dtype)
-        return out + p["b"].astype(y.dtype).reshape(num_heads, 1, dh)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and s >= 256
+    if use_pallas and num_heads % 2 == 0 and (2 * dh) % 128 == 0:
+        # Packed kernel consumes the projections' natural [N, S, H*dh]
+        # layout — no head-split transposes/copies anywhere.
+        from ..ops.pallas_attention import flash_attention_packed
+        q = vnn.linear(bp["attn"]["q"], y)
+        k = vnn.linear(bp["attn"]["k"], y)
+        v = vnn.linear(bp["attn"]["v"], y)
+        o = flash_attention_packed(q, k, v, num_heads=num_heads,
+                                   scale=dh ** -0.5)
+    else:
+        def head_proj(p):
+            # [N,S,D] @ [D,H,dh] -> [N,H,S,dh]: head split fused in.
+            w = p["w"].astype(y.dtype).reshape(d, num_heads, dh)
+            out = jnp.einsum("nsd,dhk->nhsk", y, w,
+                             preferred_element_type=y.dtype)
+            return out + p["b"].astype(y.dtype).reshape(num_heads, 1, dh)
 
-    q = head_proj(bp["attn"]["q"])
-    k = head_proj(bp["attn"]["k"])
-    v = head_proj(bp["attn"]["v"])
-    o = attn_ops.mha(q, k, v, use_pallas=use_pallas)       # [N,H,S,dh]
-    wp = bp["attn"]["proj"]["w"].astype(y.dtype).reshape(num_heads, dh, d)
-    o = jnp.einsum("nhsk,hkd->nsd", o, wp, preferred_element_type=y.dtype)
-    o = o + bp["attn"]["proj"]["b"].astype(y.dtype)
+        o = attn_ops.mha(head_proj(bp["attn"]["q"]),
+                         head_proj(bp["attn"]["k"]),
+                         head_proj(bp["attn"]["v"]),
+                         use_pallas=use_pallas)            # [N,H,S,dh]
+        o = o.transpose(0, 2, 1, 3).reshape(n, s, d)
+    o = vnn.linear(bp["attn"]["proj"], o)
     x = x + bp["ls1"]["gamma"].astype(x.dtype) * o
 
     y = vnn.layer_norm(bp["norm2"], x, eps=1e-6)

@@ -27,6 +27,89 @@ _LANES = 128
 _MAX_S_PAD = 33 * 256  # VMEM guard: fp32 scores block = block_q*S_pad*4 bytes
 
 
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int, dh: int):
+    """Two heads per grid step, operands in the NATURAL [B, S, H*dh] layout
+    of the projection matmuls — Mosaic's (8,128) tiling forbids dh=64 as a
+    block's last dim, but a 2-head 128-lane block satisfies it, and in-VMEM
+    64-lane slices per head are cheap. This removes the [B,H,S,dh] layout
+    copies XLA otherwise inserts between each projection and the kernel."""
+    for i in range(2):
+        sl = slice(i * dh, (i + 1) * dh)
+        q = q_ref[0, :, sl]           # [bq, dh], pre-scaled
+        k = k_ref[0, :, sl]           # [S_pad, dh]
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        if s_actual < k.shape[0]:
+            key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            e = jnp.where(key_ids < s_actual, e, 0.0)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        p = (e * (1.0 / jnp.maximum(denom, 1e-30))).astype(v.dtype)
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "scale", "block_q", "interpret"))
+def flash_attention_packed(q, k, v, *, num_heads: int, scale: float,
+                           block_q: int = 512, interpret: bool = False):
+    """Attention on [B, S, C] (C = num_heads * dh, heads contiguous).
+
+    Zero-layout-change variant of flash_attention: inputs/outputs are the
+    projection matmuls' natural layouts. num_heads must be even.
+    """
+    b, s_len, c = q.shape
+    dh = c // num_heads
+    s_pad = -(-s_len // _LANES) * _LANES
+    if s_pad > _MAX_S_PAD or num_heads % 2 or (2 * dh) % _LANES:
+        # generic fallback through the head-split path
+        qh = q.reshape(b, s_len, num_heads, dh).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, s_len, num_heads, dh).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, s_len, num_heads, dh).transpose(0, 2, 1, 3)
+        o = flash_attention(qh, kh, vh, scale=scale, block_q=block_q,
+                            interpret=interpret)
+        return o.transpose(0, 2, 1, 3).reshape(b, s_len, c)
+    q = q * jnp.asarray(scale, q.dtype)
+    block_q = min(block_q, s_pad)
+    q_pad = -(-s_pad // block_q) * block_q
+    if q_pad != s_len:
+        q = jnp.pad(q, [(0, 0), (0, q_pad - s_len), (0, 0)])
+    if s_pad != s_len:
+        k = jnp.pad(k, [(0, 0), (0, s_pad - s_len), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, s_pad - s_len), (0, 0)])
+
+    hp = num_heads // 2
+    grid = (b, hp, q_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, s_actual=s_len, dh=dh),
+        out_shape=jax.ShapeDtypeStruct((b, q_pad, c), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 2 * dh), lambda bi, hi, qi: (bi, qi, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, 2 * dh), lambda bi, hi, qi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, 2 * dh), lambda bi, hi, qi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 2 * dh),
+                               lambda bi, hi, qi: (bi, qi, hi),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * q_pad * s_pad * dh,
+            bytes_accessed=4 * b * q_pad * c * q.dtype.itemsize,
+            transcendentals=b * num_heads * q_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    if q_pad != s_len:
+        out = out[:, :s_len]
+    return out
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int):
     """One-pass softmax, minimized VPU sweeps over the [bq, S_pad] scores
     (the kernel is VPU-issue-bound, not MXU-bound): the query is pre-scaled
