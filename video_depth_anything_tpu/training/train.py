@@ -106,7 +106,8 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
         epoch_loss, nb = 0.0, 0
         for batch in train_loader:
             batch = {k: jnp.asarray(v) for k, v in batch.items()
-                     if k in ("video", "gt", "mask")}
+                     if k in ("video", "gt", "mask", "image_video",
+                              "image_gt", "image_mask")}
             if mesh is not None:
                 from ..parallel import shard_batch
                 batch = shard_batch(batch, mesh)

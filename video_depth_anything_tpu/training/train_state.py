@@ -78,6 +78,18 @@ def loss_fn(head_params, enc_params, batch, cfg: ModelConfig, tc: TrainConfig):
         pred.astype(jnp.float32), batch["gt"], batch["mask"],
         ratio_ssi=tc.ratio_ssi, ratio_tgm=tc.ratio_tgm,
         ssi_variant=tc.ssi_variant)
+    if "image_video" in batch:
+        # Single-image SSI branch from the CombinedDataset
+        # (train.py:279,320 loss_ssi_val_image with ratio_ssi_image).
+        ipred = video_depth.forward(cast, batch["image_video"].astype(dtype),
+                                    cfg)
+        im = batch["image_mask"].astype(jnp.float32)
+        ssi_fn = (losses.ssi_loss_lstsq if tc.ssi_variant == "lstsq"
+                  else losses.ssi_loss_median)
+        l_img = ssi_fn(ipred.astype(jnp.float32) * im,
+                       batch["image_gt"] * im, batch["image_mask"])
+        total = total + tc.ratio_ssi_image * l_img
+        aux = {**aux, "ssi_image": l_img}
     return total, aux
 
 
