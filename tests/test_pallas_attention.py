@@ -43,6 +43,29 @@ def test_flash_attention_packed_matches_xla(b, s, h, d):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_flash_attention_long_sequence_adaptive_block():
+    """High-res regime (S ~ 3k tokens): the q block shrinks to fit VMEM."""
+    from video_depth_anything_tpu.ops.pallas_attention import (
+        _fit_block_q, flash_attention_packed,
+    )
+
+    assert _fit_block_q(512, 1408) == 512
+    assert _fit_block_q(512, 8448) == 128
+    rng = np.random.default_rng(4)
+    b, s, h, d = 1, 2050, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
+    qh = q.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    ref = _xla_mha(qh, kh, vh, 0.125).transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    got = flash_attention_packed(q, k, v, num_heads=h, scale=0.125,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_flash_attention_padding_mask():
     """Padded key positions must not leak into the softmax."""
     rng = np.random.default_rng(1)

@@ -24,7 +24,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
-_MAX_S_PAD = 33 * 256  # VMEM guard: fp32 scores block = block_q*S_pad*4 bytes
+_MAX_S_PAD = 66 * 128   # 8448 keys: covers 1280px inputs (91^2+1 tokens)
+_SCORE_VMEM = 4_500_000  # fp32 scores block budget (block_q * S_pad * 4)
+
+
+def _fit_block_q(block_q: int, s_pad: int) -> int:
+    """Shrink the q block so the fp32 score tile fits the VMEM budget."""
+    max_bq = max(128, (_SCORE_VMEM // (s_pad * 4)) // 128 * 128)
+    return min(block_q, max_bq, s_pad)
 
 
 def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int, dh: int):
@@ -73,7 +80,7 @@ def flash_attention_packed(q, k, v, *, num_heads: int, scale: float,
                             interpret=interpret)
         return o.transpose(0, 2, 1, 3).reshape(b, s_len, c)
     q = q * jnp.asarray(scale, q.dtype)
-    block_q = min(block_q, s_pad)
+    block_q = _fit_block_q(block_q, s_pad)
     q_pad = -(-s_pad // block_q) * block_q
     if q_pad != s_len:
         q = jnp.pad(q, [(0, 0), (0, q_pad - s_len), (0, 0)])
@@ -147,7 +154,7 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 512,
         from .attention import _xla_mha
         return _xla_mha(q, k, v, scale)
     q = q * jnp.asarray(scale, q.dtype)  # folded here; fuses with the producer
-    block_q = min(block_q, s_pad)
+    block_q = _fit_block_q(block_q, s_pad)
     # Pad seq so both the q-block grid and K/V tiles are lane-aligned.
     q_pad = -(-s_pad // block_q) * block_q
     if q_pad != s_len:
