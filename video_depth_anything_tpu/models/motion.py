@@ -66,15 +66,31 @@ def _temporal_attention(p, x, num_heads: int, pe: str,
         q = _apply_rope(q, p["_freqs_cis"])
         k = _apply_rope(k, p["_freqs_cis"])
     dh = c // num_heads
+    scale = dh ** -0.5
     if use_pallas is None:
-        # The (frame,head)-flattened kernel pays an 8x-inflated softmax for
-        # full-width MXU matmuls — a clear win for dh>=64 (C=1024 modules),
-        # a wash for dh=32 where the VPU dominates (profiled on v5e).
-        use_pallas = jax.default_backend() == "tpu" and dh >= 64
-    if use_pallas:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and dh >= 64:
+        # (frame,head)-flattened kernel: 8x-inflated softmax buys full-width
+        # MXU matmuls — a clear win at dh>=64 (C=1024 modules).
         from ..ops.pallas_temporal_attention import temporal_flash_attention
         o = temporal_flash_attention(q, k, v, num_heads=num_heads,
-                                     scale=dh ** -0.5)
+                                     scale=scale)
+    elif (use_pallas and dh < 64 and 128 % dh == 0
+          and num_heads % (128 // dh) == 0):
+        # Small-head regime (dh=32, C=256 modules): flattening all heads
+        # makes the softmax VPU-bound, so flatten only groups of g heads
+        # such that g*dh = 128 — each group is a contiguous channel slice,
+        # and groups batch into the kernel's pixel axis.
+        from ..ops.pallas_temporal_attention import temporal_flash_attention
+        g = 128 // dh
+        ng = num_heads // g
+        def to_groups(x):
+            return (x.reshape(bd, t, ng, g * dh).transpose(0, 2, 1, 3)
+                    .reshape(bd * ng, t, g * dh))
+        o = temporal_flash_attention(to_groups(q), to_groups(k), to_groups(v),
+                                     num_heads=g, scale=scale)
+        o = (o.reshape(bd, ng, t, g * dh).transpose(0, 2, 1, 3)
+             .reshape(bd, t, c))
     else:
         q = q.reshape(bd, t, num_heads, dh).transpose(0, 2, 1, 3)
         k = k.reshape(bd, t, num_heads, dh).transpose(0, 2, 1, 3)
