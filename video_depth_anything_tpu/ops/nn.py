@@ -48,21 +48,34 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-6):
     Reference: torch.nn.GroupNorm(32, C, eps=1e-6) applied to NCHW feature
     maps (motion_module.py:84,110); here x is channel-last and the group
     statistics are taken over (spatial..., channels-in-group) per sample.
-    Leading axis 0 is the batch axis.
+
+    TPU note: grouping via reshape to [..., G, C//G] puts 8 lanes in the
+    trailing dim — a pathological layout. Instead, per-channel sums reduce
+    over the well-laid spatial axis and a static [C, G] indicator matmul
+    folds channels into groups; two passes (mean, then centered variance)
+    avoid E[x^2]-E[x]^2 cancellation.
     """
+    import numpy as np
+
     c = x.shape[-1]
     assert c % num_groups == 0, (c, num_groups)
-    xf = x.astype(jnp.float32)
-    shape = xf.shape
-    # [B, *spatial, C] -> [B, -1, G, C//G]
-    xg = xf.reshape(shape[0], -1, num_groups, c // num_groups)
-    xg = jnp.swapaxes(xg, 1, 2)  # [B, G, S, C//G]
-    mean = jnp.mean(xg, axis=(2, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xg - mean), axis=(2, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    xg = jnp.swapaxes(xg, 1, 2).reshape(shape)
-    y = xg * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return y.astype(x.dtype)
+    b = x.shape[0]
+    flat = x.reshape(b, -1, c)
+    n = flat.shape[1] * (c // num_groups)
+    ind = np.kron(np.eye(num_groups, dtype=np.float32),
+                  np.ones((c // num_groups, 1), np.float32))  # [C, G]
+    indj = jnp.asarray(ind)
+
+    s1 = jnp.sum(flat, axis=1, dtype=jnp.float32)            # [B, C]
+    gmean = (s1 @ indj) / n                                    # [B, G]
+    mean_c = gmean @ indj.T                                    # [B, C]
+    d = flat.astype(jnp.float32) - mean_c[:, None, :]
+    s2 = jnp.sum(jnp.square(d), axis=1)                        # [B, C]
+    gvar = (s2 @ indj) / n                                     # [B, G]
+    inv_c = (jax.lax.rsqrt(gvar + eps) @ indj.T)               # [B, C]
+    y = d * inv_c[:, None, :]
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype).reshape(x.shape)
 
 
 def gelu(x):
