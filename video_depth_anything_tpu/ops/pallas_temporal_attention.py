@@ -22,7 +22,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_SCORE_BUDGET = 6 * 1024 * 1024  # fp32 scores per grid step
+# Mosaic allocates stack for the softmax chain's vector temporaries
+# (several score-tile-sized buffers) on top of the scratch and the
+# double-buffered IO blocks, so the budget stays well under the 16MB
+# scoped-vmem limit.
+_VMEM_BUDGET = 4 * 1024 * 1024
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, scores, probs, *, num_heads: int,
@@ -68,8 +72,11 @@ def temporal_flash_attention(q, k, v, *, num_heads: int, scale: float,
     th = t * num_heads
     q = q * jnp.asarray(scale, q.dtype)
 
-    # fp32 scores + low-precision probs scratch per block
-    block_p = max(1, _VMEM_SCORE_BUDGET // (th * th * (4 + q.dtype.itemsize)))
+    # Per-pixel VMEM: fp32 scores + probs scratch, plus q/k/v/out blocks
+    # double-buffered by the Pallas pipeline.
+    per_pixel = (th * th * (4 + q.dtype.itemsize)
+                 + 8 * th * dh * q.dtype.itemsize)
+    block_p = max(1, _VMEM_BUDGET // per_pixel)
     block_p = min(block_p, p_total)
     p_pad = -(-p_total // block_p) * block_p
 
