@@ -63,21 +63,24 @@ def scratch_rn(p, feats):
     ]
 
 
-def output_head(p, path_1, out_hw, fp32_island: bool = True):
+def output_head(p, path_1, out_hw, fp32_island: bool = True,
+                mixed_island: bool = True):
     """output_conv1 -> 14x bilinear upsample -> output_conv2 fp32 island
     (dpt_temporal.py:93-100: the final convs run outside autocast).
 
-    bf16 variant of the island: the reference's fp32 island guards against
-    fp16's narrow exponent; bf16 shares fp32's exponent, so the 3x3 conv at
-    full output resolution (the expensive one) keeps bf16 storage with fp32
-    MXU accumulation, and only the cheap tail (ReLU + 1x1 conv) runs in
-    fp32. Full-fp32 inputs take the exact reference path.
+    bf16 variant of the island (mixed_island): the reference's fp32 island
+    guards against fp16's narrow exponent; bf16 shares fp32's exponent, so
+    the 3x3 conv at full output resolution (the expensive one) keeps bf16
+    storage with fp32 MXU accumulation, and only the cheap tail (ReLU +
+    1x1 conv) runs in fp32. Full-fp32 inputs take the exact reference path,
+    and training disables the mixed conv (its bf16-in/fp32-out form has no
+    AD transpose) in favor of the reference's full fp32 island.
     """
     out = vnn.conv2d(p["scratch"]["output_conv1"], path_1, stride=1, padding=1)
     out = resize_bilinear_align_corners(out, out_hw)
-    if fp32_island and out.dtype == jnp.float32:
-        out = vnn.conv2d(p["scratch"]["output_conv2"]["0"], out,
-                         stride=1, padding=1)
+    if fp32_island and (out.dtype == jnp.float32 or not mixed_island):
+        out = vnn.conv2d(p["scratch"]["output_conv2"]["0"],
+                         out.astype(jnp.float32), stride=1, padding=1)
     else:
         w = p["scratch"]["output_conv2"]["0"]
         out = jax.lax.conv_general_dilated(

@@ -26,7 +26,7 @@ from .motion import sinusoidal_pe, temporal_module
 
 
 def _head_forward(p, feats, ph: int, pw: int, b: int, t: int, cfg: ModelConfig,
-                  fp32_island: bool = True):
+                  fp32_island: bool = True, train: bool = False):
     """DPTHeadTemporal.forward (dpt_temporal.py:53-114).
 
     feats: list of 4 (patch_tokens [B*T, P, D], cls [B*T, D]) tuples.
@@ -76,11 +76,13 @@ def _head_forward(p, feats, ph: int, pw: int, b: int, t: int, cfg: ModelConfig,
     path_1 = dpt.feature_fusion_block(sc["refinenet1"], path_2, l1rn,
                                       use_bn=cfg.use_bn)
 
-    return dpt.output_head(p, path_1, (14 * ph, 14 * pw), fp32_island)
+    return dpt.output_head(p, path_1, (14 * ph, 14 * pw), fp32_island,
+                           mixed_island=not train)
 
 
 def forward(params, x: jax.Array, cfg: ModelConfig,
-            use_pallas: bool | None = None, fp32_island: bool = True) -> jax.Array:
+            use_pallas: bool | None = None, fp32_island: bool = True,
+            train: bool = False) -> jax.Array:
     """x: [B, T, H, W, 3] (normalized) -> depth [B, T, H, W] fp32, ReLU'd.
 
     Mirrors VideoDepthAnything.forward (video_depth.py:89-164 pristine path).
@@ -91,7 +93,8 @@ def forward(params, x: jax.Array, cfg: ModelConfig,
     feats = dinov2.get_intermediate_layers(
         params["pretrained"], flat, cfg.vit, cfg.intermediate_layer_idx,
         use_pallas=use_pallas)
-    depth = _head_forward(params["head"], feats, ph, pw, b, t, cfg, fp32_island)
+    depth = _head_forward(params["head"], feats, ph, pw, b, t, cfg, fp32_island,
+                          train=train)
     depth = resize_bilinear_align_corners(depth.astype(jnp.float32), (h, w))
     depth = jnp.maximum(depth, 0.0)
     return depth[..., 0].reshape(b, t, h, w)

@@ -73,7 +73,8 @@ def loss_fn(head_params, enc_params, batch, cfg: ModelConfig, tc: TrainConfig):
     dtype = jnp.bfloat16 if tc.compute_dtype == "bfloat16" else jnp.float32
     cast = jax.tree.map(lambda a: a.astype(dtype)
                         if a.dtype == jnp.float32 else a, params)
-    pred = video_depth.forward(cast, batch["video"].astype(dtype), cfg)
+    pred = video_depth.forward(cast, batch["video"].astype(dtype), cfg,
+                               train=True)
     total, aux = losses.combined_loss(
         pred.astype(jnp.float32), batch["gt"], batch["mask"],
         ratio_ssi=tc.ratio_ssi, ratio_tgm=tc.ratio_tgm,
@@ -82,7 +83,7 @@ def loss_fn(head_params, enc_params, batch, cfg: ModelConfig, tc: TrainConfig):
         # Single-image SSI branch from the CombinedDataset
         # (train.py:279,320 loss_ssi_val_image with ratio_ssi_image).
         ipred = video_depth.forward(cast, batch["image_video"].astype(dtype),
-                                    cfg)
+                                    cfg, train=True)
         im = batch["image_mask"].astype(jnp.float32)
         ssi_fn = (losses.ssi_loss_lstsq if tc.ssi_variant == "lstsq"
                   else losses.ssi_loss_median)
