@@ -165,6 +165,18 @@ class VideoDepthPipeline:
         carry = None
         last_tail = None
         prev_feats = None
+        pending = []  # device->host copies in flight, drained one step late
+
+        def defer(arr, shape):
+            if hasattr(arr, "copy_to_host_async"):
+                arr.copy_to_host_async()
+            pending.append((arr, shape))
+
+        def drain(force=False):
+            while pending and (force or len(pending) > 1):
+                arr, shape = pending.pop(0)
+                outputs.append(np.asarray(arr).reshape(shape))
+
         import contextlib
         span = self.timer.span if self.timer else (lambda _: contextlib.nullcontext())
         for start in range(0, k_total, c):
@@ -189,15 +201,16 @@ class VideoDepthPipeline:
                     jax.block_until_ready(depths)
             if carry is None:
                 carry, emit0 = _stitch_first_jit(depths[0])
-                outputs.append(np.asarray(emit0))
+                defer(emit0, (OVERLAP + 14, src_h, src_w))
                 last_tail = carry[2]
                 depths = depths[1:]
                 r -= 1
             if r > 0:
                 carry, emits, tails = scan(carry, depths)
-                outputs.append(np.asarray(emits[:r]).reshape(r * FRAME_STEP,
-                                                             src_h, src_w))
+                defer(emits[:r], (r * FRAME_STEP, src_h, src_w))
                 last_tail = tails[r - 1]
+            drain()  # fetch the previous step's frames while this one runs
+        drain(force=True)
         outputs.append(np.asarray(last_tail))
         depths_full = np.concatenate(outputs, axis=0)
         return depths_full[:n], target_fps
