@@ -49,3 +49,22 @@ def test_train_driver_end_to_end(tmp_path):
     recs2 = [json.loads(l) for l in
              open(os.path.join(out, "metrics.jsonl")).read().splitlines()]
     assert len(recs2) > len(recs)
+
+    # export the trained checkpoint to inference .npz and run the pipeline
+    from video_depth_anything_tpu.models.video_depth import init_params
+    from video_depth_anything_tpu.training import checkpoint as ckpt
+    from video_depth_anything_tpu.training.train_state import (
+        TrainConfig, create_train_state)
+    from video_depth_anything_tpu.utils.params_io import load_params, save_params
+
+    import jax
+    import numpy as np
+
+    template = create_train_state(init_params(0, mcfg), TrainConfig())
+    restored = ckpt.load_checkpoint(out, "best_checkpoint", template=template)
+    npz = str(tmp_path / "exported.npz")
+    save_params(npz, restored["params"])
+    params = load_params(npz)
+    a = jax.tree.leaves(restored["params"]["head"])[0]
+    b = jax.tree.leaves(params["head"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
