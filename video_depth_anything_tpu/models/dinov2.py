@@ -89,7 +89,10 @@ def _block_step(carry, bp, *, num_heads: int, use_pallas, ffn_layer="mlp"):
         use_pallas = jax.default_backend() == "tpu" and s >= 256
     if use_pallas and num_heads % 2 == 0 and (2 * dh) % 128 == 0:
         # Packed kernel consumes the projections' natural [N, S, H*dh]
-        # layout — no head-split transposes/copies anywhere.
+        # layout — no head-split transposes/copies anywhere. (A fused
+        # single-qkv-matmul variant, flash_attention_qkv_fused, measured
+        # ~1 ms/frame SLOWER on v5e: K/V block DMAs from the 3C-wide fused
+        # array stride 3x wider.)
         from ..ops.pallas_attention import flash_attention_packed
         q = vnn.linear(bp["attn"]["q"], y)
         k = vnn.linear(bp["attn"]["k"], y)

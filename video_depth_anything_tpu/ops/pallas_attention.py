@@ -60,6 +60,70 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int, dh: int):
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("num_heads", "block_q", "interpret"))
+def flash_attention_qkv_fused(qkv, *, num_heads: int, block_q: int = 512,
+                              interpret: bool = False):
+    """Attention on a fused projection output qkv: [B, S, 3C]
+    (C = num_heads * dh, layout [q | k | v], q already scaled).
+
+    The kernel reads q/k/v as column-block slices of the single fused
+    matmul output — one projection matmul, zero slicing copies. Falls back
+    to flash_attention_packed when the column blocks don't tile.
+    """
+    b, s_len, c3 = qkv.shape
+    c = c3 // 3
+    dh = c // num_heads
+    s_pad = -(-s_len // _LANES) * _LANES
+    if (s_pad > _MAX_S_PAD or num_heads % 2 or (2 * dh) % _LANES
+            or c % _LANES):
+        q, k, v = (qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:])
+        return flash_attention_packed(q, k, v, num_heads=num_heads, scale=1.0,
+                                      block_q=block_q, interpret=interpret)
+    block_q = _fit_block_q(block_q, s_pad)
+    q_pad = -(-s_pad // block_q) * block_q
+    if q_pad != s_len:
+        qkv_q = jnp.pad(qkv, [(0, 0), (0, q_pad - s_len), (0, 0)]) \
+            if q_pad != s_len else qkv
+    else:
+        qkv_q = qkv
+    kv_src = qkv_q if q_pad == s_pad else (
+        jnp.pad(qkv, [(0, 0), (0, s_pad - s_len), (0, 0)])
+        if s_pad != s_len else qkv)
+
+    hp = num_heads // 2
+    kcol = c // _LANES       # column-block offset of K within the fused array
+    vcol = 2 * c // _LANES
+    grid = (b, hp, q_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, s_actual=s_len, dh=dh),
+        out_shape=jax.ShapeDtypeStruct((b, q_pad, c), qkv.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 2 * dh), lambda bi, hi, qi: (bi, qi, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, 2 * dh),
+                         lambda bi, hi, qi: (bi, 0, kcol + hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, 2 * dh),
+                         lambda bi, hi, qi: (bi, 0, vcol + hi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 2 * dh),
+                               lambda bi, hi, qi: (bi, qi, hi),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * q_pad * s_pad * dh,
+            bytes_accessed=2 * b * q_pad * c3 * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * q_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(qkv_q, kv_src, kv_src)
+    if q_pad != s_len:
+        out = out[:, :s_len]
+    return out
+
+
+@functools.partial(jax.jit,
                    static_argnames=("num_heads", "scale", "block_q", "interpret"))
 def flash_attention_packed(q, k, v, *, num_heads: int, scale: float,
                            block_q: int = 512, interpret: bool = False):
