@@ -39,24 +39,42 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int, dh: int):
     of the projection matmuls — Mosaic's (8,128) tiling forbids dh=64 as a
     block's last dim, but a 2-head 128-lane block satisfies it, and in-VMEM
     64-lane slices per head are cheap. This removes the [B,H,S,dh] layout
-    copies XLA otherwise inserts between each projection and the kernel."""
-    for i in range(2):
+    copies XLA otherwise inserts between each projection and the kernel.
+
+    The two heads' chains are written interleaved (both QK matmuls first,
+    then both softmaxes, then both PV matmuls) — independent chains give
+    the Mosaic scheduler room to overlap one head's VPU softmax with the
+    other's MXU matmul instead of serializing the phases."""
+    bq = q_ref.shape[1]
+    half = bq // 2
+    chains = [(i, r) for i in range(2) for r in ((0, half), (half, bq))
+              ] if half % 8 == 0 and half > 0 else [(i, (0, bq)) for i in range(2)]
+
+    def qk(i, rows):
         sl = slice(i * dh, (i + 1) * dh)
-        q = q_ref[0, :, sl]           # [bq, dh], pre-scaled
-        k = k_ref[0, :, sl]           # [S_pad, dh]
-        v = v_ref[0, :, sl]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(
+            q_ref[0, rows[0]:rows[1], sl], k_ref[0, :, sl],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    def softmax(s):
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        if s_actual < k.shape[0]:
+        if s_actual < k_ref.shape[1]:
             key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             e = jnp.where(key_ids < s_actual, e, 0.0)
         denom = jnp.sum(e, axis=-1, keepdims=True)
-        p = (e * (1.0 / jnp.maximum(denom, 1e-30))).astype(v.dtype)
-        o_ref[0, :, sl] = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+        return (e * (1.0 / jnp.maximum(denom, 1e-30))).astype(v_ref.dtype)
+
+    def pv(i, rows, p):
+        sl = slice(i * dh, (i + 1) * dh)
+        o_ref[0, rows[0]:rows[1], sl] = jax.lax.dot_general(
+            p, v_ref[0, :, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+    scores = [qk(i, rows) for i, rows in chains]
+    probs = [softmax(s) for s in scores]
+    for (i, rows), p in zip(chains, probs):
+        pv(i, rows, p)
 
 
 @functools.partial(jax.jit,
