@@ -17,7 +17,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_MS_PER_FRAME = 14.0  # A100 fp16, reference README.md:58
+# A100 fp16 ms/frame (reference README.md:51,58); vitl is the north star.
+BASELINES_MS_PER_FRAME = {"vits": 7.5, "vitl": 14.0}
 
 
 def main():
@@ -72,11 +73,12 @@ def main():
 
     p50 = sorted(times)[len(times) // 2]
     ms_per_frame = p50 * 1000.0 / (args.frames * args.batch)
+    baseline = BASELINES_MS_PER_FRAME[args.encoder]
     print(json.dumps({
         "metric": f"{args.encoder}_ms_per_frame_{args.size}",
         "value": round(ms_per_frame, 3),
         "unit": "ms/frame",
-        "vs_baseline": round(BASELINE_MS_PER_FRAME / ms_per_frame, 3),
+        "vs_baseline": round(baseline / ms_per_frame, 3),
         "batch_windows": args.batch,
         "fps_per_chip": round(1000.0 / ms_per_frame, 2),
     }))
