@@ -1,1 +1,2 @@
-from .mesh import make_mesh, param_sharding_rules, shard_params, shard_batch  # noqa: F401
+from .mesh import (make_mesh, param_sharding_rules, param_shardings,  # noqa: F401
+                   shard_batch, shard_params)

@@ -55,15 +55,6 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
         hp = yaml.safe_load(f)["hyper_parameter"]
 
     clip_len = int(hp.get("clip_len", 20))
-    tc = TrainConfig(
-        learning_rate=float(hp.get("learning_rate", 1e-4)),
-        epochs=int(hp.get("epochs", 500)),
-        ratio_ssi=float(hp.get("ratio_ssi", 1.0)),
-        ratio_tgm=float(hp.get("ratio_tgm", 10.0)),
-        ratio_ssi_image=float(hp.get("ratio_ssi_image", 0.5)),
-        ssi_variant=hp.get("ssi_variant", "lstsq"),
-        compute_dtype=hp.get("compute_dtype", "bfloat16"),
-    )
     cfg = model_cfg or get_model_config(hp.get("encoder", "vits"),
                                         num_frames=clip_len)
     clip_len = cfg.num_frames
@@ -78,6 +69,19 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
         train_ds = CombinedDataset(train_ds, google_image_root, google_depth_root)
     train_loader = DataLoader(train_ds, batch_size=batch_size, shuffle=True)
     val_loader = DataLoader(val_ds, batch_size=1, shuffle=False)
+
+    # Cosine horizon = epochs * real optimizer steps per epoch, matching the
+    # reference's per-epoch annealing over T_max=epochs (train.py:222).
+    tc = TrainConfig(
+        learning_rate=float(hp.get("learning_rate", 1e-4)),
+        epochs=int(hp.get("epochs", 500)),
+        steps_per_epoch=max(len(train_loader), 1),
+        ratio_ssi=float(hp.get("ratio_ssi", 1.0)),
+        ratio_tgm=float(hp.get("ratio_tgm", 10.0)),
+        ratio_ssi_image=float(hp.get("ratio_ssi_image", 0.5)),
+        ssi_variant=hp.get("ssi_variant", "lstsq"),
+        compute_dtype=hp.get("compute_dtype", "bfloat16"),
+    )
 
     params = init_params(0, cfg)
     state = create_train_state(params, tc)
@@ -98,8 +102,10 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
             print(f"resumed from epoch {start_epoch}")
 
     if mesh is not None:
-        from ..parallel import shard_batch, shard_params
-        state = create_train_state(shard_params(state.params, mesh), tc)
+        # device_put the existing state (fresh OR resumed) onto the mesh —
+        # restored step/opt_state must survive sharding.
+        from ..training.train_state import shard_train_state
+        state = shard_train_state(state, mesh)
 
     step_count = 0
     for epoch in range(start_epoch, tc.epochs):

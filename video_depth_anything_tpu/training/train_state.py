@@ -68,6 +68,36 @@ def create_train_state(params, tc: TrainConfig) -> TrainState:
                       opt_state=tx.init(params["head"]))
 
 
+def shard_train_state(state: TrainState, mesh) -> TrainState:
+    """Device-put an existing state onto a mesh WITHOUT rebuilding it, so
+    resume + mesh compose (restored step/opt_state survive). Adam mu/nu
+    follow the head parameter shardings; counts/scalars replicate."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import param_shardings
+
+    sh = param_shardings(state.params, mesh)
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(state.params, sh)
+    head_sh = sh["head"]
+
+    def put_piece(piece):
+        if hasattr(piece, "mu") and hasattr(piece, "nu"):  # ScaleByAdamState
+            return piece._replace(
+                count=jax.device_put(piece.count, repl),
+                mu=jax.device_put(piece.mu, head_sh),
+                nu=jax.device_put(piece.nu, head_sh))
+        return jax.tree.map(lambda x: jax.device_put(x, repl), piece)
+
+    opt_state = state.opt_state
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
+        opt_state = tuple(put_piece(p) for p in opt_state)
+    else:
+        opt_state = put_piece(opt_state)
+    return TrainState(step=jax.device_put(state.step, repl),
+                      params=params, opt_state=opt_state)
+
+
 def loss_fn(head_params, enc_params, batch, cfg: ModelConfig, tc: TrainConfig):
     params = {"pretrained": enc_params, "head": head_params}
     dtype = jnp.bfloat16 if tc.compute_dtype == "bfloat16" else jnp.float32
