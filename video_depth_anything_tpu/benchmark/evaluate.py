@@ -131,6 +131,10 @@ def eval_dataset(infer_path: str, cfg: DatasetEvalConfig,
             if gts:
                 results.append(eval_sequence(np.stack(preds), np.stack(gts),
                                              cfg.max_depth_eval))
+    if not results:
+        raise ValueError(
+            f"no predictions under {infer_path!r} matched the "
+            f"'{cfg.name}' manifest — run benchmark inference first")
     mean = np.mean(np.asarray(results), axis=0)
     out = {name: float(mean[i]) for i, name in enumerate(EVAL_METRIC_NAMES)}
     if results_file:

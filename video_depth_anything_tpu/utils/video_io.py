@@ -61,8 +61,8 @@ def read_video_frames(video_path: str, process_length: int = -1,
 
 
 def _inferno_lut() -> np.ndarray:
-    import matplotlib.cm as cm
-    return np.asarray(cm.get_cmap("inferno").colors)  # [256, 3] float
+    import matplotlib
+    return np.asarray(matplotlib.colormaps["inferno"].colors)  # [256, 3] float
 
 
 def depth_visualization(depths: np.ndarray, grayscale: bool = False) -> np.ndarray:
@@ -76,14 +76,35 @@ def depth_visualization(depths: np.ndarray, grayscale: bool = False) -> np.ndarr
     return lut[norm]
 
 
+def _save_video_ffmpeg(frames: np.ndarray, output_path: str,
+                       fps: float) -> bool:
+    """libx264 crf18 via imageio-ffmpeg when available — matches the
+    reference encoder settings (dc_utils.py:72-86). Returns False when the
+    plugin or the codec is missing so the caller can fall back to cv2."""
+    try:
+        import imageio
+        writer = imageio.get_writer(output_path, fps=fps, macro_block_size=1,
+                                    codec="libx264",
+                                    ffmpeg_params=["-crf", "18"])
+    except Exception:
+        return False
+    with writer:
+        for f in frames:
+            writer.append_data(f)
+    return True
+
+
 def save_video(frames: np.ndarray, output_path: str, fps: float = 10,
                is_depths: bool = False, grayscale: bool = False) -> None:
     """Write an mp4 (dc_utils.py:72-86 contract). frames: [N,H,W,3] uint8 RGB
-    or [N,H,W] float depth when is_depths."""
-    assert _CV2, "OpenCV required for video encode"
+    or [N,H,W] float depth when is_depths. Prefers libx264 crf18 (reference
+    parity); falls back to OpenCV mp4v when no ffmpeg plugin is present."""
     if is_depths:
         frames = depth_visualization(np.asarray(frames), grayscale)
     frames = np.asarray(frames)
+    if _save_video_ffmpeg(frames, output_path, fps):
+        return
+    assert _CV2, "OpenCV required for video encode"
     h, w = frames.shape[1:3]
     fourcc = cv2.VideoWriter_fourcc(*"mp4v")
     writer = cv2.VideoWriter(output_path, fourcc, fps, (w, h))
