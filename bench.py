@@ -33,6 +33,10 @@ def main():
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--fp32", action="store_true")
     parser.add_argument("--no_pallas", action="store_true")
+    parser.add_argument("--no_e2e", action="store_true",
+                        help="skip the end-to-end pipeline measurement")
+    parser.add_argument("--e2e_frames", type=int, default=76,
+                        help="host-RAM frames for the e2e mode (3 windows)")
     args = parser.parse_args()
 
     import jax
@@ -74,14 +78,52 @@ def main():
     p50 = sorted(times)[len(times) // 2]
     ms_per_frame = p50 * 1000.0 / (args.frames * args.batch)
     baseline = BASELINES_MS_PER_FRAME[args.encoder]
-    print(json.dumps({
+    record = {
         "metric": f"{args.encoder}_ms_per_frame_{args.size}",
         "value": round(ms_per_frame, 3),
         "unit": "ms/frame",
         "vs_baseline": round(baseline / ms_per_frame, 3),
         "batch_windows": args.batch,
         "fps_per_chip": round(1000.0 / ms_per_frame, 2),
-    }))
+    }
+
+    if not args.no_e2e:
+        # End-to-end regime the reference's 14 ms/frame actually competes
+        # with (video_depth.py:166-254): frames in host RAM -> preprocess ->
+        # window forwards -> stitch -> depths in host RAM, keyframe cache on.
+        from video_depth_anything_tpu.pipeline import VideoDepthPipeline
+        frames = np.random.default_rng(1).integers(
+            0, 255, (args.e2e_frames, args.size, args.size, 3), np.uint8)
+        pipe = VideoDepthPipeline(cfg, params, use_pallas=use_pallas)
+        kw = dict(input_size=args.size, fp32=args.fp32)
+        pipe.infer_video_depth(frames, **kw)  # compile
+        e2e = []
+        for _ in range(max(args.iters // 3, 2)):
+            t0 = time.perf_counter()
+            depths, _ = pipe.infer_video_depth(frames, **kw)
+            np.asarray(depths)
+            e2e.append(time.perf_counter() - t0)
+        e2e_ms = sorted(e2e)[len(e2e) // 2] * 1000.0 / args.e2e_frames
+        record["e2e_ms_per_frame"] = round(e2e_ms, 3)
+        record["e2e_frames"] = args.e2e_frames
+
+        # Host<->device transfer share of e2e, measured directly: on this
+        # tunneled dev TPU the PCIe path runs through an RPC bridge, so raw
+        # byte movement dominates e2e; on a real TPU host it is DMA (~GB/s)
+        # and e2e approaches the forward number.
+        tt = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            dev = jnp.asarray(frames)
+            dev.block_until_ready()
+            back = np.asarray(jnp.zeros(
+                (args.e2e_frames, args.size, args.size), jnp.float32) + dev[..., 0].astype(jnp.float32))
+            del back
+            tt.append(time.perf_counter() - t0)
+        record["e2e_transfer_ms_per_frame"] = round(
+            sorted(tt)[len(tt) // 2] * 1000.0 / args.e2e_frames, 3)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
