@@ -1,0 +1,63 @@
+"""bf16 accuracy budget for the full inference pipeline.
+
+The reference ships fp16-autocast inference (video_depth.py:209 autocast);
+this framework defaults to bf16 on TPU. Real checkpoints are unreachable in
+this image (network-blocked — see tools/validate_checkpoint.py), so the
+bf16 default carries a *stated, tested* tolerance instead: the end-to-end
+pipeline (preprocess -> sliding windows -> forward -> stitch) in bf16 must
+stay within budget of the fp32 pipeline after per-video affine alignment
+(relative depth is scale/shift-invariant, util.py:15-30 normalizes anyway).
+
+Measured on random vits weights over a 50-frame / 3-window synthetic video:
+max aligned error 2.8% of depth range, mean 0.054%. Budgets below hold 1.8x
+/ 4x headroom over that. tools/validate_checkpoint.py re-runs this exact
+check against real weights the moment a .pth lands in ./checkpoints/.
+"""
+import numpy as np
+import pytest
+
+from video_depth_anything_tpu.config import get_model_config
+from video_depth_anything_tpu.models.video_depth import init_params
+from video_depth_anything_tpu.pipeline import VideoDepthPipeline
+from video_depth_anything_tpu.utils.precision import (affine_align,
+                                                      precision_drift_report)
+
+N_FRAMES = 50
+SRC_HW = (70, 98)
+
+
+def synthetic_video(n=N_FRAMES, hw=SRC_HW, seed=3):
+    """Moving smooth structure + mild sensor noise (not pure noise — depth
+    nets see spatial structure; noise-only frames overstate bf16 error)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)[:, None, None]
+    y, x = np.mgrid[0:hw[0], 0:hw[1]]
+    base = (np.sin(x / 11 + t / 6) + np.cos(y / 9 - t / 8))[..., None]
+    base = (base - base.min()) / (base.max() - base.min()) * 255
+    return np.clip(base + rng.normal(0, 12, (n, *hw, 3)), 0, 255).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    import jax
+    cfg = get_model_config("vits")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    return VideoDepthPipeline(cfg, params, use_pallas=False)
+
+
+def test_bf16_pipeline_within_budget(pipeline):
+    frames = synthetic_video()
+    d32, _ = pipeline.infer_video_depth(frames, input_size=56, fp32=True)
+    d16, _ = pipeline.infer_video_depth(frames, input_size=56, fp32=False)
+    rep = precision_drift_report(d16, d32)
+    assert np.isfinite(d16).all()
+    # Budget (see module docstring for the measured baseline):
+    assert rep["max_err_frac"] < 0.05, rep
+    assert rep["mean_err_frac"] < 0.002, rep
+
+
+def test_affine_align_identity():
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal((4, 8, 8)).astype(np.float32)
+    aligned = affine_align(2.5 * d - 1.25, d)
+    np.testing.assert_allclose(aligned, d, rtol=1e-5, atol=1e-5)
