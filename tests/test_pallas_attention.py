@@ -49,8 +49,13 @@ def test_flash_attention_long_sequence_adaptive_block():
         _fit_block_q, flash_attention_packed,
     )
 
-    assert _fit_block_q(512, 1408) == 512
-    assert _fit_block_q(512, 8448) == 128
+    # Equal-split geometry: q_pad == s_pad (no dead rows), largest block
+    # whose fp32 score tile fits the VMEM budget.
+    assert _fit_block_q(4096, 1408) == 1408   # 518px: single step
+    assert _fit_block_q(4096, 8448) == 192    # 1280px: 44 equal steps
+    assert _fit_block_q(4096, 2176) == 544
+    assert _fit_block_q(4096, 1408, itemsize=4) == 704  # fp32: halved budget
+    assert _fit_block_q(512, 1408) == 352     # caller cap respected
     rng = np.random.default_rng(4)
     b, s, h, d = 1, 2050, 2, 64
     q = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
