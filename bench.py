@@ -32,6 +32,9 @@ def main():
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 encoder matmuls (w8a8, ops/quant.py); "
+                             "reported as a separate metric name")
     parser.add_argument("--no_pallas", action="store_true")
     parser.add_argument("--no_e2e", action="store_true",
                         help="skip the end-to-end pipeline measurement")
@@ -53,6 +56,29 @@ def main():
                           if a.dtype == jnp.float32 else a, params)
     use_pallas = (not args.no_pallas) and jax.default_backend() != "cpu"
 
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (args.batch, args.frames, args.size, args.size, 3)), dtype)
+
+    if args.int8:
+        from video_depth_anything_tpu.models.dinov2 import \
+            calibrate_encoder_stats
+        from video_depth_anything_tpu.ops import quant as quant_ops
+
+        @jax.jit
+        def calib(p, xx):
+            flat = xx.reshape(-1, args.size, args.size, 3)
+            return calibrate_encoder_stats(
+                p["pretrained"], flat, cfg.vit, cfg.intermediate_layer_idx,
+                use_pallas=use_pallas)
+
+        stats = jax.device_get(calib(params, x))
+        params_fwd = {**params,
+                      "pretrained": quant_ops.quantize_encoder(
+                          params["pretrained"], stats, cfg.vit.depth)}
+    else:
+        params_fwd = params
+
     @jax.jit
     def fn(p, x):
         # Scalar readout: timing fetches it to host, which is robust against
@@ -60,26 +86,23 @@ def main():
         out = forward(p, x, cfg, use_pallas=use_pallas)
         return jnp.sum(out)
 
-    x = jnp.asarray(
-        np.random.default_rng(0).standard_normal(
-            (args.batch, args.frames, args.size, args.size, 3)), dtype)
-
     # Compile + warmup.
-    float(fn(params, x))
+    float(fn(params_fwd, x))
     for _ in range(args.warmup):
-        float(fn(params, x))
+        float(fn(params_fwd, x))
 
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        float(fn(params, x))
+        float(fn(params_fwd, x))
         times.append(time.perf_counter() - t0)
 
     p50 = sorted(times)[len(times) // 2]
     ms_per_frame = p50 * 1000.0 / (args.frames * args.batch)
     baseline = BASELINES_MS_PER_FRAME[args.encoder]
+    suffix = "_int8" if args.int8 else ""
     record = {
-        "metric": f"{args.encoder}_ms_per_frame_{args.size}",
+        "metric": f"{args.encoder}_ms_per_frame_{args.size}{suffix}",
         "value": round(ms_per_frame, 3),
         "unit": "ms/frame",
         "vs_baseline": round(baseline / ms_per_frame, 3),
@@ -94,7 +117,8 @@ def main():
         from video_depth_anything_tpu.pipeline import VideoDepthPipeline
         frames = np.random.default_rng(1).integers(
             0, 255, (args.e2e_frames, args.size, args.size, 3), np.uint8)
-        pipe = VideoDepthPipeline(cfg, params, use_pallas=use_pallas)
+        pipe = VideoDepthPipeline(cfg, params, use_pallas=use_pallas,
+                          quant="int8" if args.int8 else None)
         kw = dict(input_size=args.size, fp32=args.fp32)
         pipe.infer_video_depth(frames, **kw)  # compile
         e2e = []

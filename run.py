@@ -27,6 +27,9 @@ def main():
                         help="target fps, -1 = original")
     parser.add_argument("--fp32", action="store_true",
                         help="infer in float32 (default bfloat16 on TPU)")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8-quantized encoder matmuls (w8a8, "
+                             "calibrated on the first window; ops/quant.py)")
     parser.add_argument("--grayscale", action="store_true",
                         help="no color palette in the depth video")
     parser.add_argument("--save_npz", action="store_true")
@@ -39,6 +42,10 @@ def main():
     parser.add_argument("--random_init", action="store_true",
                         help="random weights (smoke testing without a checkpoint)")
     parser.add_argument("--windows_per_batch", type=int, default=1)
+    parser.add_argument("--streaming", action="store_true",
+                        help="streaming decode: frames are read by a "
+                             "background thread overlapping device compute "
+                             "(bounded host memory for long videos)")
     args = parser.parse_args()
 
     import jax
@@ -62,15 +69,36 @@ def main():
         sys.exit("no checkpoint found (use --checkpoint or --random_init); "
                  "expected ./checkpoints/video_depth_anything_{vits,vitl}.{npz,pth}")
 
-    frames, target_fps = read_video_frames(
-        args.input_video, args.max_len, args.target_fps, args.max_res)
-    print(f"{frames.shape[0]} frames @ {target_fps:.2f} fps, "
-          f"{frames.shape[1]}x{frames.shape[2]}, backend={jax.default_backend()}")
+    pipe = VideoDepthPipeline(cfg, params,
+                              quant="int8" if args.int8 else None)
+    if args.streaming:
+        from video_depth_anything_tpu.utils.video_io import stream_video_frames
+        import numpy as np
+        it, fps, hw = stream_video_frames(
+            args.input_video, args.max_len, args.target_fps, args.max_res)
+        # tee the decoded frames so the _src.mp4 writer still gets them
+        src_frames = []
 
-    pipe = VideoDepthPipeline(cfg, params)
-    depths, fps = pipe.infer_video_depth(
-        frames, target_fps, input_size=args.input_size, fp32=args.fp32,
-        windows_per_batch=args.windows_per_batch)
+        def tee(gen):
+            for f in gen:
+                src_frames.append(f)
+                yield f
+
+        print(f"streaming {hw[0]}x{hw[1]} @ {fps:.2f} fps, "
+              f"backend={jax.default_backend()}")
+        chunks = list(pipe.infer_video_depth_streaming(
+            tee(it), input_size=args.input_size, fp32=args.fp32))
+        depths = np.concatenate(chunks, axis=0)
+        frames = np.stack(src_frames)
+    else:
+        frames, target_fps = read_video_frames(
+            args.input_video, args.max_len, args.target_fps, args.max_res)
+        print(f"{frames.shape[0]} frames @ {target_fps:.2f} fps, "
+              f"{frames.shape[1]}x{frames.shape[2]}, "
+              f"backend={jax.default_backend()}")
+        depths, fps = pipe.infer_video_depth(
+            frames, target_fps, input_size=args.input_size, fp32=args.fp32,
+            windows_per_batch=args.windows_per_batch)
 
     os.makedirs(args.output_dir, exist_ok=True)
     stem = os.path.splitext(os.path.basename(args.input_video))[0]

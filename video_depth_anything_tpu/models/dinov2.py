@@ -37,6 +37,7 @@ import numpy as np
 from ..config import ViTConfig
 from ..ops import attention as attn_ops
 from ..ops import nn as vnn
+from ..ops import quant as quant_ops
 from ..ops.resize import cubic_resize_matrix
 
 
@@ -77,17 +78,48 @@ def _ffn(bp, y, ffn_layer: str):
     return vnn.linear(bp["mlp"]["w3"], jax.nn.silu(x1) * x2)
 
 
-def _block_step(carry, bp, *, num_heads: int, use_pallas, ffn_layer="mlp"):
-    """One pre-norm ViT block (reference dinov2_layers/block.py:82-107)."""
+def _amax(x):
+    return jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+
+def _block_step(carry, bp, *, num_heads: int, use_pallas, ffn_layer="mlp",
+                collect_stats: bool = False):
+    """One pre-norm ViT block (reference dinov2_layers/block.py:82-107).
+
+    If bp carries a "qs" leaf (ops/quant.py::quantize_encoder), the six hot
+    matmuls run w8a8 int8 with static activation scales. With collect_stats,
+    the scan ys are the per-site activation absmaxes used to calibrate those
+    scales.
+    """
     x = carry
     n, s, d = x.shape
     dh = d // num_heads
+    qs = bp.get("qs") if isinstance(bp, dict) else None
+    stats = {}
 
     y = vnn.layer_norm(bp["norm1"], x, eps=1e-6)
+    if collect_stats:
+        stats["qkv"] = _amax(y)
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and s >= 256
-    if use_pallas and num_heads % 2 == 0 and (2 * dh) % 128 == 0:
+    packed_ok = num_heads % 2 == 0 and (2 * dh) % 128 == 0
+    if qs is not None:
+        yq = quant_ops.quant_act(y, qs["qkv"])
+        q = quant_ops.qlinear(bp["attn"]["q"], yq, qs["qkv"], x.dtype)
+        k = quant_ops.qlinear(bp["attn"]["k"], yq, qs["qkv"], x.dtype)
+        v = quant_ops.qlinear(bp["attn"]["v"], yq, qs["qkv"], x.dtype)
+        if use_pallas and packed_ok:
+            from ..ops.pallas_attention import flash_attention_packed
+            o = flash_attention_packed(q, k, v, num_heads=num_heads,
+                                       scale=dh ** -0.5)
+        else:
+            def split(t):
+                return t.reshape(n, s, num_heads, dh).transpose(0, 2, 1, 3)
+            o = attn_ops.mha(split(q), split(k), split(v),
+                             use_pallas=use_pallas)
+            o = o.transpose(0, 2, 1, 3).reshape(n, s, d)
+    elif use_pallas and packed_ok:
         # Packed kernel consumes the projections' natural [N, S, H*dh]
         # layout — no head-split transposes/copies anywhere. (A fused
         # single-qkv-matmul variant, flash_attention_qkv_fused, measured
@@ -112,17 +144,54 @@ def _block_step(carry, bp, *, num_heads: int, use_pallas, ffn_layer="mlp"):
                          head_proj(bp["attn"]["v"]),
                          use_pallas=use_pallas)            # [N,H,S,dh]
         o = o.transpose(0, 2, 1, 3).reshape(n, s, d)
-    o = vnn.linear(bp["attn"]["proj"], o)
+    if collect_stats:
+        stats["proj"] = _amax(o)
+    if qs is not None:
+        o = quant_ops.qlinear(bp["attn"]["proj"],
+                              quant_ops.quant_act(o, qs["proj"]),
+                              qs["proj"], x.dtype)
+    else:
+        o = vnn.linear(bp["attn"]["proj"], o)
     x = x + bp["ls1"]["gamma"].astype(x.dtype) * o
 
     y = vnn.layer_norm(bp["norm2"], x, eps=1e-6)
-    y = _ffn(bp, y, ffn_layer)
+    if collect_stats:
+        stats["fc1"] = _amax(y)
+    if qs is not None and "w_i8" in bp["mlp"].get("fc1", {}):
+        h = quant_ops.qlinear(bp["mlp"]["fc1"],
+                              quant_ops.quant_act(y, qs["fc1"]),
+                              qs["fc1"], x.dtype)
+        g = vnn.gelu(h)
+        y = quant_ops.qlinear(bp["mlp"]["fc2"],
+                              quant_ops.quant_act(g, qs["fc2"]),
+                              qs["fc2"], x.dtype)
+    elif collect_stats and ffn_layer == "mlp":
+        h = vnn.linear(bp["mlp"]["fc1"], y)
+        g = vnn.gelu(h)
+        stats["fc2"] = _amax(g)
+        y = vnn.linear(bp["mlp"]["fc2"], g)
+    else:
+        y = _ffn(bp, y, ffn_layer)
     x = x + bp["ls2"]["gamma"].astype(x.dtype) * y
-    return x, None
+    return x, (stats if collect_stats else None)
 
 
 def _slice_blocks(blocks, start: int, stop: int):
     return jax.tree.map(lambda a: a[start:stop], blocks)
+
+
+def _embed_tokens(params, x: jax.Array, cfg: ViTConfig):
+    """Patch embed + cls token + interpolated pos embed (dinov2.py:212-231)."""
+    n, h, w, _ = x.shape
+    p = cfg.patch_size
+    ph, pw = h // p, w // p
+    tokens = vnn.conv2d(params["patch_embed"]["proj"], x, stride=p)
+    tokens = tokens.reshape(n, ph * pw, cfg.embed_dim)
+    cls = jnp.broadcast_to(params["cls_token"].astype(tokens.dtype),
+                           (n, 1, cfg.embed_dim))
+    tokens = jnp.concatenate([cls, tokens], axis=1)
+    pos = interpolate_pos_encoding(params["pos_embed"], ph, pw, cfg)
+    return tokens + pos.astype(tokens.dtype)
 
 
 def get_intermediate_layers(params, x: jax.Array, cfg: ViTConfig,
@@ -133,17 +202,7 @@ def get_intermediate_layers(params, x: jax.Array, cfg: ViTConfig,
     x: [N, H, W, 3] with H, W multiples of patch_size. Blocks after the last
     tap are skipped (they cannot affect the outputs).
     """
-    n, h, w, _ = x.shape
-    p = cfg.patch_size
-    ph, pw = h // p, w // p
-
-    tokens = vnn.conv2d(params["patch_embed"]["proj"], x, stride=p)
-    tokens = tokens.reshape(n, ph * pw, cfg.embed_dim)
-    cls = jnp.broadcast_to(params["cls_token"].astype(tokens.dtype),
-                           (n, 1, cfg.embed_dim))
-    tokens = jnp.concatenate([cls, tokens], axis=1)
-    pos = interpolate_pos_encoding(params["pos_embed"], ph, pw, cfg)
-    tokens = tokens + pos.astype(tokens.dtype)
+    tokens = _embed_tokens(params, x, cfg)
 
     step = partial(_block_step, num_heads=cfg.num_heads, use_pallas=use_pallas,
                    ffn_layer=cfg.ffn_layer)
@@ -160,6 +219,28 @@ def get_intermediate_layers(params, x: jax.Array, cfg: ViTConfig,
         o = vnn.layer_norm(params["norm"], o, eps=1e-6)
         results.append((o[:, 1:, :], o[:, 0, :]))
     return results
+
+
+def calibrate_encoder_stats(params, x: jax.Array, cfg: ViTConfig, taps,
+                            use_pallas=None):
+    """One calibration forward collecting per-block activation absmaxes.
+
+    Returns {"qkv"|"proj"|"fc1"|"fc2": [L'] fp32} where L' = last tap + 1
+    (later blocks never run at inference). Feed to
+    ops/quant.py::quantize_encoder. MLP FFN only (vitg SwiGLU stays bf16).
+    """
+    assert cfg.ffn_layer == "mlp", "int8 calibration supports the MLP FFN only"
+    tokens = _embed_tokens(params, x, cfg)
+    step = partial(_block_step, num_heads=cfg.num_heads, use_pallas=use_pallas,
+                   ffn_layer=cfg.ffn_layer, collect_stats=True)
+    segs = []
+    start = 0
+    for t in taps:
+        seg = _slice_blocks(params["blocks"], start, t + 1)
+        tokens, ys = jax.lax.scan(step, tokens, seg)
+        segs.append(ys)
+        start = t + 1
+    return {k: jnp.concatenate([s[k] for s in segs]) for k in segs[0]}
 
 
 # ---------------------------------------------------------------------------

@@ -30,11 +30,16 @@ from . import preprocess, stitch, windows
 
 class VideoDepthPipeline:
     def __init__(self, cfg: ModelConfig, params, mesh=None,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 quant: Optional[str] = None):
+        assert quant in (None, "int8"), quant
+        if quant is not None and mesh is not None:
+            raise NotImplementedError("int8 mode is single-device for now")
         self.cfg = cfg
         self.params = params
         self.mesh = mesh
         self.use_pallas = use_pallas
+        self.quant = quant
         self._cast_cache: dict = {}
         self._forward_jit = {}
         self.timer = None  # set by infer_video_depth(collect_timings=True)
@@ -50,6 +55,33 @@ class VideoDepthPipeline:
                 from ..parallel.mesh import shard_params
                 cast = shard_params(cast, self.mesh)
             self._cast_cache[key] = cast
+        return self._cast_cache[key]
+
+    def _quantized_params(self, params, calib_win, net_hw, dtype):
+        """int8-quantize the encoder using the first window as calibration.
+
+        One extra (bf16) encoder forward collects per-block activation
+        absmaxes (models/dinov2.py::calibrate_encoder_stats); the quantized
+        tree is cached per (net_hw, dtype). ops/quant.py has the numerics.
+        """
+        key = ("int8", net_hw, jnp.dtype(dtype).name)
+        if key not in self._cast_cache:
+            from ..models.dinov2 import calibrate_encoder_stats
+            from ..ops import quant as quant_ops
+            cfg = self.cfg
+            use_pallas = self.use_pallas
+
+            @jax.jit
+            def calib(p, win_u8):
+                x = preprocess.preprocess_frames(win_u8, net_hw, dtype=dtype)
+                return calibrate_encoder_stats(
+                    p["pretrained"], x, cfg.vit, cfg.intermediate_layer_idx,
+                    use_pallas=use_pallas)
+
+            stats = jax.device_get(calib(params, jnp.asarray(calib_win)))
+            pretrained_q = quant_ops.quantize_encoder(
+                params["pretrained"], stats, cfg.vit.depth)
+            self._cast_cache[key] = {**params, "pretrained": pretrained_q}
         return self._cast_cache[key]
 
     def _put_windows(self, win):
@@ -148,6 +180,9 @@ class VideoDepthPipeline:
         params = self._params_in(dtype)
 
         idx = windows.window_indices(n)              # [K, 32]
+        if self.quant == "int8":
+            params = self._quantized_params(params, frames[idx[0]], net_hw,
+                                            dtype)
         k_total = idx.shape[0]
         c = max(1, min(windows_per_batch, k_total))
         if self.mesh is not None:  # chunk must tile the data axis
@@ -214,6 +249,92 @@ class VideoDepthPipeline:
         outputs.append(np.asarray(last_tail))
         depths_full = np.concatenate(outputs, axis=0)
         return depths_full[:n], target_fps
+
+
+    def infer_video_depth_streaming(self, frame_iter, input_size: int = 518,
+                                    fp32: bool = False):
+        """Bounded-memory long-video inference from a frame iterator.
+
+        frame_iter yields [H, W, 3] uint8 frames (utils/video_io.py::
+        stream_video_frames). Yields finalized depth chunks [n_i, H, W]
+        fp32 whose concatenation is bit-identical to infer_video_depth on
+        the same frames (tests/test_streaming.py): each window consumes
+        exactly the next FRAME_STEP source frames (the closed-form indices
+        of pipeline/windows.py are sequential in the cached-keyframe
+        scheme), so only O(window) frames are ever resident.
+        """
+        if self.quant == "int8":
+            raise NotImplementedError(
+                "streaming int8 would calibrate mid-stream; use "
+                "infer_video_depth (it calibrates on the first window)")
+        it = iter(frame_iter)
+        first = []
+        for f in it:
+            first.append(np.asarray(f))
+            if len(first) == INFER_LEN:
+                break
+        if not first:
+            return
+        src_h, src_w = first[0].shape[:2]
+        eff = preprocess.effective_input_size(src_h, src_w, input_size)
+        net_hw = preprocess.network_input_hw(src_h, src_w, eff)
+        dtype = jnp.float32 if fp32 else jnp.bfloat16
+        params = self._params_in(dtype)
+        encode, head_fn, reuse = self._cached_fns(net_hw, (src_h, src_w),
+                                                  dtype)
+        scan = partial(_stitch_chunk, metric=self.cfg.metric)
+
+        n = len(first)
+        ended = n < INFER_LEN
+        window = first + [first[-1]] * (INFER_LEN - n)  # tail clamp
+        feats = encode(params, jnp.asarray(np.stack(window)))
+        depths = head_fn(params, feats)                 # [1, 32, H, W]
+        carry, emit = _stitch_first_jit(depths[0])
+        emitted = 0
+
+        def clip(arr, total_next):
+            nonlocal emitted
+            take = np.asarray(arr)[: max(0, total_next - emitted)]
+            emitted += len(take)
+            return take
+
+        # Window 0 emits 24 frames; safe to yield un-trimmed only while the
+        # stream is still going (n may be < emitted at EOF).
+        k_total = windows.num_windows(n) if ended else None
+        out = clip(emit, n if ended else emitted + OVERLAP + 14)
+        if len(out):
+            yield out
+        k = 1
+        while k_total is None or k < k_total:
+            new = []
+            if not ended:
+                for f in it:
+                    new.append(np.asarray(f))
+                    if len(new) == FRAME_STEP:
+                        break
+                if len(new) < FRAME_STEP:
+                    ended = True
+                    n += len(new)
+                    k_total = windows.num_windows(n)
+                    if k >= k_total:
+                        break
+                    last = new[-1] if new else window[-1]
+                    new = new + [last] * (FRAME_STEP - len(new))
+                else:
+                    n += FRAME_STEP
+            else:
+                new = [window[-1]] * FRAME_STEP
+            window = new
+            feats = reuse(feats, encode(params, jnp.asarray(np.stack(new))))
+            depths = head_fn(params, feats)
+            carry, emits, _ = scan(carry, depths)
+            out = clip(emits[0], n if ended else emitted + FRAME_STEP)
+            if len(out):
+                yield out
+            k += 1
+        tail = clip(carry[2], n)
+        if len(tail):
+            yield tail
 
 
 @jax.jit
