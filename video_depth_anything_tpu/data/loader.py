@@ -15,22 +15,33 @@ import numpy as np
 
 class DataLoader:
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = True,
-                 seed: int = 0, prefetch: int = 2, drop_last: bool = True):
+                 seed: int = 0, prefetch: int = 2, drop_last: bool = True,
+                 num_shards: int = 1, shard_id: int = 0):
+        """num_shards/shard_id: multi-host data sharding — every process
+        shuffles with the same seed and keeps rows shard_id::num_shards, so
+        the union is a disjoint cover of the epoch (parallel/distributed.py
+        assembles the global batch from these per-host rows)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        assert 0 <= shard_id < num_shards, (shard_id, num_shards)
+        self.num_shards = num_shards
+        self.shard_id = shard_id
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _indices(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idx)
+        if self.num_shards > 1:
+            n = (len(idx) // self.num_shards) * self.num_shards
+            idx = idx[self.shard_id:n:self.num_shards]
         return idx
 
     def _collate(self, items):

@@ -37,7 +37,7 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
           google_image_root: str = None, google_depth_root: str = None,
           out_dir: str = "./train_out", max_steps: int = -1,
           resume: bool = False, mesh=None, model_cfg=None,
-          resize_size: int = 518):
+          resize_size: int = 518, distributed: bool = False):
     import yaml
 
     import jax
@@ -50,6 +50,16 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
     from ..training.train_state import (TrainConfig, create_train_state,
                                         eval_step, train_step)
     from ..training.validate import metric_val
+
+    if distributed:
+        # Multi-host: join the cluster, one mesh over every host's chips,
+        # per-host input feeding (parallel/distributed.py).
+        from ..parallel import distributed as dist
+        dist.initialize()
+        if mesh is None:
+            mesh = dist.global_mesh()
+    nproc = jax.process_count()
+    proc0 = jax.process_index() == 0
 
     with open(config_path) as f:
         hp = yaml.safe_load(f)["hyper_parameter"]
@@ -67,7 +77,11 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
                                 resize_size=resize_size)
     if google_image_root:
         train_ds = CombinedDataset(train_ds, google_image_root, google_depth_root)
-    train_loader = DataLoader(train_ds, batch_size=batch_size, shuffle=True)
+    # Each process loads batch_size rows; the global batch is nproc x that.
+    train_loader = DataLoader(train_ds, batch_size=batch_size, shuffle=True,
+                              num_shards=nproc, shard_id=jax.process_index())
+    # Validation is NOT sharded: every process walks the same sequences and
+    # computes identical (replicated) metrics, so control flow stays in sync.
     val_loader = DataLoader(val_ds, batch_size=1, shuffle=False)
 
     # Cosine horizon = epochs * real optimizer steps per epoch, matching the
@@ -111,27 +125,38 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
     for epoch in range(start_epoch, tc.epochs):
         epoch_loss, nb = 0.0, 0
         for batch in train_loader:
-            batch = {k: jnp.asarray(v) for k, v in batch.items()
+            batch = {k: v for k, v in batch.items()
                      if k in ("video", "gt", "mask", "image_video",
                               "image_gt", "image_mask")}
-            if mesh is not None:
+            if nproc > 1:
+                from ..parallel.distributed import host_local_batch_to_global
+                batch = host_local_batch_to_global(batch, mesh)
+            elif mesh is not None:
                 from ..parallel import shard_batch
                 batch = shard_batch(batch, mesh)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = train_step(state, batch, cfg, tc)
             epoch_loss += float(metrics["loss"])
             nb += 1
             step_count += 1
             if max_steps > 0 and step_count >= max_steps:
                 break
-        logger.log({"train_loss": epoch_loss / max(nb, 1), "epoch": epoch},
-                   step_count)
+        if proc0:
+            logger.log({"train_loss": epoch_loss / max(nb, 1), "epoch": epoch},
+                       step_count)
 
         # -- validation (train.py:340-479) --
         val_losses, absrels, delta1s, taes = [], [], [], []
         first_val = True
         for batch in val_loader:
-            jb = {k: jnp.asarray(v) for k, v in batch.items()
+            jb = {k: v for k, v in batch.items()
                   if k in ("video", "gt", "mask")}
+            if nproc > 1:
+                from ..parallel.distributed import host_replicated_to_global
+                jb = host_replicated_to_global(jb, mesh)
+            else:
+                jb = {k: jnp.asarray(v) for k, v in jb.items()}
             val_losses.append(float(eval_step(state, jb, cfg, tc)["loss"]))
             from ..models.video_depth import forward
             dtype = jnp.bfloat16 if tc.compute_dtype == "bfloat16" else jnp.float32
@@ -141,16 +166,17 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
             a, d1, t = metric_val(pred[0], batch["depth"][0],
                                   batch["extrinsics"][0], batch["intrinsics"][0])
             absrels.append(a), delta1s.append(d1), taes.append(t)
-            if first_val:  # visual regression dump (train.py:387-435)
+            if first_val and proc0:  # visual regression dump (train.py:387-435)
                 from ..training.visualize import dump_val_frames
                 dump_val_frames(os.path.join(out_dir, "val_vis"), epoch,
                                 batch["video"][0], batch["gt"][0],
                                 batch["mask"][0], pred[0])
-                first_val = False
+            first_val = False
         val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
-        logger.log({"val_loss": val_loss, "absrel": np.mean(absrels),
-                    "delta1": np.mean(delta1s), "tae": np.mean(taes),
-                    "epoch": epoch}, step_count)
+        if proc0:
+            logger.log({"val_loss": val_loss, "absrel": np.mean(absrels),
+                        "delta1": np.mean(delta1s), "tae": np.mean(taes),
+                        "epoch": epoch}, step_count)
 
         extra = {"epoch": epoch, "best_val_loss": best_val, "trial": trial}
         ckpt.save_checkpoint(out_dir, "latest_checkpoint", state, extra)
@@ -177,9 +203,13 @@ def main(argv=None):
     parser.add_argument("--out_dir", default="./train_out")
     parser.add_argument("--max_steps", type=int, default=-1)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize + "
+                             "global mesh + per-host data feeding")
     args = parser.parse_args(argv)
     train(args.config, args.data_root, args.google_image_root,
-          args.google_depth_root, args.out_dir, args.max_steps, args.resume)
+          args.google_depth_root, args.out_dir, args.max_steps, args.resume,
+          distributed=args.distributed)
 
 
 if __name__ == "__main__":
