@@ -1,0 +1,58 @@
+"""Streaming pipeline (bounded-memory long-video path) parity.
+
+infer_video_depth_streaming must reproduce infer_video_depth bit-exactly:
+both run the same cached-keyframe window graph and the same stitch scan,
+only the frame delivery differs (iterator + O(window) residency vs full
+array). Edge cases mirror the window math: short video (< one window),
+exact window boundary, odd tails.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from video_depth_anything_tpu.config import (VIT_CONFIGS, ModelConfig,
+                                             ViTConfig)
+from video_depth_anything_tpu.models.video_depth import init_params
+from video_depth_anything_tpu.pipeline import VideoDepthPipeline
+
+from test_precision_budget import synthetic_video
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    VIT_CONFIGS["_tinystream"] = ViTConfig(embed_dim=64, depth=2, num_heads=2)
+    cfg = ModelConfig(encoder="_tinystream", features=32,
+                      out_channels=(32, 32, 32, 32), taps=(0, 0, 1, 1))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    return VideoDepthPipeline(cfg, params, use_pallas=False)
+
+
+@pytest.mark.parametrize("n", [10, 23, 32, 50, 54])
+def test_streaming_matches_batch(pipe, n):
+    frames = synthetic_video(n=n, hw=(42, 56))
+    ref, _ = pipe.infer_video_depth(frames, input_size=28)
+    chunks = list(pipe.infer_video_depth_streaming(iter(frames),
+                                                   input_size=28))
+    got = np.concatenate(chunks, axis=0)
+    assert got.shape == ref.shape == (n, 42, 56)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_stream_video_frames_roundtrip(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from video_depth_anything_tpu.utils.video_io import (read_video_frames,
+                                                         stream_video_frames)
+
+    frames = synthetic_video(n=12, hw=(32, 48))
+    path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (48, 32))
+    for f in frames:
+        w.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    w.release()
+
+    batch, fps_a = read_video_frames(path)
+    it, fps_b, hw = stream_video_frames(path)
+    streamed = np.stack(list(it))
+    assert fps_a == fps_b and hw == (32, 48)
+    np.testing.assert_array_equal(streamed, batch)

@@ -60,6 +60,75 @@ def read_video_frames(video_path: str, process_length: int = -1,
     return np.stack(frames, axis=0), fps
 
 
+def stream_video_frames(video_path: str, process_length: int = -1,
+                        target_fps: float = -1, max_res: int = -1,
+                        prefetch: int = 64):
+    """Streaming decode: -> (frame iterator, fps, (h, w)).
+
+    Same fps-stride/max_res/max_len semantics as read_video_frames, but a
+    background thread decodes into a bounded queue so decode overlaps
+    device compute (pipeline.infer_video_depth_streaming) and host memory
+    stays O(prefetch) instead of O(video). SURVEY §7 "hard parts": host
+    decode throughput must overlap device compute for long 1280-res videos.
+    """
+    assert _CV2, "OpenCV required for video decode"
+    import queue
+    import threading
+
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {video_path}")
+    original_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    scale_hw = None
+    if max_res > 0 and max(h, w) > max_res:
+        scale = max_res / max(h, w)
+        scale_hw = (_ensure_even(round(h * scale)), _ensure_even(round(w * scale)))
+    out_hw = scale_hw if scale_hw is not None else (h, w)
+    fps = original_fps if target_fps <= 0 else target_fps
+    stride = max(round(original_fps / fps), 1)
+
+    q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
+    stop = object()
+
+    def worker():
+        try:
+            count, emitted = 0, 0
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                if count % stride == 0:
+                    frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                    if scale_hw is not None:
+                        frame = cv2.resize(frame, (scale_hw[1], scale_hw[0]),
+                                           interpolation=cv2.INTER_AREA)
+                    q.put(frame)
+                    emitted += 1
+                    if process_length > 0 and emitted >= process_length:
+                        break
+                count += 1
+        except Exception as e:  # surface decode errors on the consumer side
+            q.put(e)
+        finally:
+            cap.release()
+            q.put(stop)
+
+    threading.Thread(target=worker, daemon=True).start()
+
+    def frames():
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+    return frames(), fps, out_hw
+
+
 def _inferno_lut() -> np.ndarray:
     import matplotlib
     return np.asarray(matplotlib.colormaps["inferno"].colors)  # [256, 3] float
