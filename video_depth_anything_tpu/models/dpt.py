@@ -81,14 +81,26 @@ def output_head(p, path_1, out_hw, fp32_island: bool = True,
     if fp32_island and (out.dtype == jnp.float32 or not mixed_island):
         out = vnn.conv2d(p["scratch"]["output_conv2"]["0"],
                          out.astype(jnp.float32), stride=1, padding=1)
-    else:
-        w = p["scratch"]["output_conv2"]["0"]
-        out = jax.lax.conv_general_dilated(
-            out, w["w"].astype(out.dtype), (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
-        out = out + w["b"].astype(jnp.float32)
-    out = jnp.maximum(out, 0).astype(jnp.float32)
-    out = vnn.conv2d(p["scratch"]["output_conv2"]["2"], out, stride=1, padding=0)
-    out = jnp.maximum(out, 0)
-    return out  # [N, H14, W14, 1] fp32
+        out = jnp.maximum(out, 0).astype(jnp.float32)
+        out = vnn.conv2d(p["scratch"]["output_conv2"]["2"], out,
+                         stride=1, padding=0)
+        return jnp.maximum(out, 0)  # [N, H14, W14, 1] fp32
+    # Mixed island: both output convs accumulate in fp32 on the MXU (bf16
+    # shares fp32's exponent range, the property the reference's fp16
+    # island protects), but the [N, H14, W14, 32] intermediate — the
+    # largest tensor in the model, ~2.2 GB/window at 518^2 — stores bf16,
+    # halving the tail's HBM traffic. Budgeted end to end by
+    # tests/test_precision_budget.py.
+    w = p["scratch"]["output_conv2"]["0"]
+    out = jax.lax.conv_general_dilated(
+        out, w["w"].astype(out.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    out = jnp.maximum(out + w["b"].astype(jnp.float32), 0).astype(jnp.bfloat16)
+    w2 = p["scratch"]["output_conv2"]["2"]
+    out = jax.lax.conv_general_dilated(
+        out, w2["w"].astype(out.dtype), (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    out = out + w2["b"].astype(jnp.float32)
+    return jnp.maximum(out, 0)  # [N, H14, W14, 1] fp32
