@@ -43,9 +43,12 @@ def main():
                         help="random weights (smoke testing without a checkpoint)")
     parser.add_argument("--windows_per_batch", type=int, default=1)
     parser.add_argument("--streaming", action="store_true",
-                        help="streaming decode: frames are read by a "
-                             "background thread overlapping device compute "
-                             "(bounded host memory for long videos)")
+                        help="streaming decode: a background thread decodes "
+                             "frames overlapping device compute, and the "
+                             "_src.mp4 writer encodes them incrementally "
+                             "(decoded frames never accumulate; depth maps "
+                             "still do — the vis/npz writers need the full "
+                             "video for global normalization)")
     args = parser.parse_args()
 
     import jax
@@ -71,25 +74,30 @@ def main():
 
     pipe = VideoDepthPipeline(cfg, params,
                               quant="int8" if args.int8 else None)
+    os.makedirs(args.output_dir, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(args.input_video))[0]
     if args.streaming:
-        from video_depth_anything_tpu.utils.video_io import stream_video_frames
+        from video_depth_anything_tpu.utils.video_io import (
+            IncrementalVideoWriter, stream_video_frames)
         import numpy as np
         it, fps, hw = stream_video_frames(
             args.input_video, args.max_len, args.target_fps, args.max_res)
-        # tee the decoded frames so the _src.mp4 writer still gets them
-        src_frames = []
+        # _src.mp4 is written as frames stream by — they never accumulate.
+        src_writer = IncrementalVideoWriter(
+            os.path.join(args.output_dir, stem + "_src.mp4"), fps)
 
         def tee(gen):
-            for f in gen:
-                src_frames.append(f)
-                yield f
+            with src_writer:
+                for f in gen:
+                    src_writer.append(f)
+                    yield f
 
         print(f"streaming {hw[0]}x{hw[1]} @ {fps:.2f} fps, "
               f"backend={jax.default_backend()}")
         chunks = list(pipe.infer_video_depth_streaming(
             tee(it), input_size=args.input_size, fp32=args.fp32))
         depths = np.concatenate(chunks, axis=0)
-        frames = np.stack(src_frames)
+        frames = None
     else:
         frames, target_fps = read_video_frames(
             args.input_video, args.max_len, args.target_fps, args.max_res)
@@ -100,9 +108,9 @@ def main():
             frames, target_fps, input_size=args.input_size, fp32=args.fp32,
             windows_per_batch=args.windows_per_batch)
 
-    os.makedirs(args.output_dir, exist_ok=True)
-    stem = os.path.splitext(os.path.basename(args.input_video))[0]
-    save_video(frames, os.path.join(args.output_dir, stem + "_src.mp4"), fps=fps)
+    if frames is not None:  # streaming already wrote _src.mp4 incrementally
+        save_video(frames, os.path.join(args.output_dir, stem + "_src.mp4"),
+                   fps=fps)
     save_video(depths, os.path.join(args.output_dir, stem + "_vis.mp4"), fps=fps,
                is_depths=True, grayscale=args.grayscale)
     print(f"wrote {args.output_dir}/{stem}_src.mp4 and _vis.mp4")

@@ -48,15 +48,23 @@ def _oracle_loss(steps: int) -> float:
     return float(metrics["loss"])
 
 
+def _free_port() -> int:
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
 def test_two_process_train_matches_single_process():
     steps = 2
+    port = _free_port()
     procs = []
     env = {**os.environ,
            "JAX_PLATFORMS": "cpu",
            "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
     for pid in range(2):
         procs.append(subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", "19881", str(steps)],
+            [sys.executable, WORKER, str(pid), "2", str(port), str(steps)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
             cwd=ROOT, text=True))
     results = {}

@@ -19,22 +19,11 @@ import pytest
 from video_depth_anything_tpu.config import get_model_config
 from video_depth_anything_tpu.models.video_depth import init_params
 from video_depth_anything_tpu.pipeline import VideoDepthPipeline
-from video_depth_anything_tpu.utils.precision import (affine_align,
-                                                      precision_drift_report)
-
-N_FRAMES = 50
-SRC_HW = (70, 98)
-
-
-def synthetic_video(n=N_FRAMES, hw=SRC_HW, seed=3):
-    """Moving smooth structure + mild sensor noise (not pure noise — depth
-    nets see spatial structure; noise-only frames overstate bf16 error)."""
-    rng = np.random.default_rng(seed)
-    t = np.arange(n)[:, None, None]
-    y, x = np.mgrid[0:hw[0], 0:hw[1]]
-    base = (np.sin(x / 11 + t / 6) + np.cos(y / 9 - t / 8))[..., None]
-    base = (base - base.min()) / (base.max() - base.min()) * 255
-    return np.clip(base + rng.normal(0, 12, (n, *hw, 3)), 0, 255).astype(np.uint8)
+from video_depth_anything_tpu.utils.precision import (MAX_ERR_FRAC,
+                                                      MEAN_ERR_FRAC,
+                                                      affine_align,
+                                                      precision_drift_report,
+                                                      synthetic_video)
 
 
 @pytest.fixture(scope="module")
@@ -51,9 +40,10 @@ def test_bf16_pipeline_within_budget(pipeline):
     d16, _ = pipeline.infer_video_depth(frames, input_size=56, fp32=False)
     rep = precision_drift_report(d16, d32)
     assert np.isfinite(d16).all()
-    # Budget (see module docstring for the measured baseline):
-    assert rep["max_err_frac"] < 0.05, rep
-    assert rep["mean_err_frac"] < 0.002, rep
+    # Budget (see module docstring for the measured baseline; constants
+    # shared with tools/validate_checkpoint.py via utils/precision.py):
+    assert rep["max_err_frac"] < MAX_ERR_FRAC, rep
+    assert rep["mean_err_frac"] < MEAN_ERR_FRAC, rep
 
 
 def test_affine_align_identity():

@@ -31,18 +31,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MAX_ERR_FRAC = 0.05   # keep in sync with tests/test_precision_budget.py
-MEAN_ERR_FRAC = 0.002
-
-
-def synthetic_video(n=50, hw=(70, 98), seed=3):
-    import numpy as np
-    rng = np.random.default_rng(seed)
-    t = np.arange(n)[:, None, None]
-    y, x = np.mgrid[0:hw[0], 0:hw[1]]
-    base = (np.sin(x / 11 + t / 6) + np.cos(y / 9 - t / 8))[..., None]
-    base = (base - base.min()) / (base.max() - base.min()) * 255
-    return np.clip(base + rng.normal(0, 12, (n, *hw, 3)), 0, 255).astype(np.uint8)
+from video_depth_anything_tpu.utils.precision import (  # noqa: E402
+    MAX_ERR_FRAC, MEAN_ERR_FRAC, synthetic_video)
 
 
 def infer_encoder(path):

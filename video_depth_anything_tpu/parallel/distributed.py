@@ -41,10 +41,15 @@ def initialize(coordinator_address: Optional[str] = None,
     if _INITIALIZED:
         return
     if coordinator_address is None and num_processes is None:
-        # TPU pods auto-discover; anything else stays single-process.
+        # TPU pods auto-discover; anything else stays single-process. The
+        # registry is ClusterEnv._cluster_types — the real TPU detectors
+        # (GceTpuCluster/GkeTpuCluster) are grandchildren of ClusterEnv, so
+        # __subclasses__() would miss them and silently no-op on real pods.
         try:
             import jax._src.clusters as clusters
-            auto = any(c.is_env_present() for c in clusters.ClusterEnv.__subclasses__())
+            kinds = getattr(clusters.ClusterEnv, "_cluster_types", None) \
+                or clusters.ClusterEnv.__subclasses__()
+            auto = any(c.is_env_present() for c in kinds)
         except Exception:
             auto = False
         if not auto:

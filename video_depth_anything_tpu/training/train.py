@@ -60,6 +60,23 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
             mesh = dist.global_mesh()
     nproc = jax.process_count()
     proc0 = jax.process_index() == 0
+    if nproc > 1 and mesh is not None:
+        # The global batch (nproc * per-host batch_size) shards over the
+        # mesh "data" axis; an indivisible batch fails at the first step
+        # with an opaque sharding error — fail early and clearly instead.
+        ndata = mesh.shape["data"]
+        per_host = ndata // nproc
+        def _check_batch(bs):
+            gb = bs * nproc
+            if gb % ndata != 0:
+                raise ValueError(
+                    f"per-host batch_size={bs} gives a global batch of {gb} "
+                    f"which does not divide over the {ndata}-chip data axis "
+                    f"({nproc} hosts x {per_host} chips/host); use a "
+                    f"batch_size that is a multiple of {per_host}")
+    else:
+        def _check_batch(bs):
+            pass
 
     with open(config_path) as f:
         hp = yaml.safe_load(f)["hyper_parameter"]
@@ -69,6 +86,7 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
                                         num_frames=clip_len)
     clip_len = cfg.num_frames
     batch_size = int(hp.get("batch_size", 1))
+    _check_batch(batch_size)
     patience = int(hp.get("patient", 5))
 
     train_ds = VKITTIVideoDataset(data_root, clip_len=clip_len, split="train",
@@ -121,6 +139,10 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
         from ..training.train_state import shard_train_state
         state = shard_train_state(state, mesh)
 
+    from ..models.video_depth import forward
+    val_dtype = jnp.bfloat16 if tc.compute_dtype == "bfloat16" else jnp.float32
+    _val_fwd = jax.jit(lambda p, v: forward(p, v.astype(val_dtype), cfg))
+
     step_count = 0
     for epoch in range(start_epoch, tc.epochs):
         epoch_loss, nb = 0.0, 0
@@ -149,6 +171,10 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
         # -- validation (train.py:340-479) --
         val_losses, absrels, delta1s, taes = [], [], [], []
         first_val = True
+        # Loop-invariant: cast the params once per epoch; _val_fwd is one
+        # jitted function reused across epochs (defined before the loop).
+        cast = jax.tree.map(lambda a: a.astype(val_dtype)
+                            if a.dtype == jnp.float32 else a, state.params)
         for batch in val_loader:
             jb = {k: v for k, v in batch.items()
                   if k in ("video", "gt", "mask")}
@@ -158,11 +184,7 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
             else:
                 jb = {k: jnp.asarray(v) for k, v in jb.items()}
             val_losses.append(float(eval_step(state, jb, cfg, tc)["loss"]))
-            from ..models.video_depth import forward
-            dtype = jnp.bfloat16 if tc.compute_dtype == "bfloat16" else jnp.float32
-            cast = jax.tree.map(lambda a: a.astype(dtype)
-                                if a.dtype == jnp.float32 else a, state.params)
-            pred = np.asarray(forward(cast, jb["video"].astype(dtype), cfg))
+            pred = np.asarray(_val_fwd(cast, jb["video"]))
             a, d1, t = metric_val(pred[0], batch["depth"][0],
                                   batch["extrinsics"][0], batch["intrinsics"][0])
             absrels.append(a), delta1s.append(d1), taes.append(t)

@@ -20,9 +20,11 @@ def _ensure_even(v: int) -> int:
     return v if v % 2 == 0 else v + 1
 
 
-def read_video_frames(video_path: str, process_length: int = -1,
-                      target_fps: float = -1, max_res: int = -1):
-    """-> (frames [N,H,W,3] uint8 RGB, fps). Mirrors dc_utils.py:22-69."""
+def _open_video(video_path: str, target_fps: float, max_res: int):
+    """Shared decode preamble: -> (cap, fps, stride, scale_hw, out_hw).
+
+    fps-stride resampling + max_res downscale-to-even semantics of the
+    reference (dc_utils.py:22-51)."""
     assert _CV2, "OpenCV required for video decode"
     cap = cv2.VideoCapture(video_path)
     if not cap.isOpened():
@@ -30,15 +32,27 @@ def read_video_frames(video_path: str, process_length: int = -1,
     original_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
     h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
     w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-
     scale_hw = None
     if max_res > 0 and max(h, w) > max_res:
         scale = max_res / max(h, w)
         scale_hw = (_ensure_even(round(h * scale)), _ensure_even(round(w * scale)))
-
     fps = original_fps if target_fps <= 0 else target_fps
     stride = max(round(original_fps / fps), 1)
+    return cap, fps, stride, scale_hw, (scale_hw or (h, w))
 
+
+def _decode_frame(frame, scale_hw):
+    frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+    if scale_hw is not None:
+        frame = cv2.resize(frame, (scale_hw[1], scale_hw[0]),
+                           interpolation=cv2.INTER_AREA)
+    return frame
+
+
+def read_video_frames(video_path: str, process_length: int = -1,
+                      target_fps: float = -1, max_res: int = -1):
+    """-> (frames [N,H,W,3] uint8 RGB, fps). Mirrors dc_utils.py:22-69."""
+    cap, fps, stride, scale_hw, _ = _open_video(video_path, target_fps, max_res)
     frames = []
     count = 0
     while True:
@@ -46,11 +60,7 @@ def read_video_frames(video_path: str, process_length: int = -1,
         if not ok:
             break
         if count % stride == 0:
-            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-            if scale_hw is not None:
-                frame = cv2.resize(frame, (scale_hw[1], scale_hw[0]),
-                                   interpolation=cv2.INTER_AREA)
-            frames.append(frame)
+            frames.append(_decode_frame(frame, scale_hw))
             if process_length > 0 and len(frames) >= process_length:
                 break
         count += 1
@@ -71,24 +81,11 @@ def stream_video_frames(video_path: str, process_length: int = -1,
     stays O(prefetch) instead of O(video). SURVEY §7 "hard parts": host
     decode throughput must overlap device compute for long 1280-res videos.
     """
-    assert _CV2, "OpenCV required for video decode"
     import queue
     import threading
 
-    cap = cv2.VideoCapture(video_path)
-    if not cap.isOpened():
-        raise FileNotFoundError(f"cannot open video: {video_path}")
-    original_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-    scale_hw = None
-    if max_res > 0 and max(h, w) > max_res:
-        scale = max_res / max(h, w)
-        scale_hw = (_ensure_even(round(h * scale)), _ensure_even(round(w * scale)))
-    out_hw = scale_hw if scale_hw is not None else (h, w)
-    fps = original_fps if target_fps <= 0 else target_fps
-    stride = max(round(original_fps / fps), 1)
-
+    cap, fps, stride, scale_hw, out_hw = _open_video(video_path, target_fps,
+                                                     max_res)
     q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
     stop = object()
 
@@ -100,11 +97,7 @@ def stream_video_frames(video_path: str, process_length: int = -1,
                 if not ok:
                     break
                 if count % stride == 0:
-                    frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                    if scale_hw is not None:
-                        frame = cv2.resize(frame, (scale_hw[1], scale_hw[0]),
-                                           interpolation=cv2.INTER_AREA)
-                    q.put(frame)
+                    q.put(_decode_frame(frame, scale_hw))
                     emitted += 1
                     if process_length > 0 and emitted >= process_length:
                         break
@@ -149,18 +142,78 @@ def _save_video_ffmpeg(frames: np.ndarray, output_path: str,
                        fps: float) -> bool:
     """libx264 crf18 via imageio-ffmpeg when available — matches the
     reference encoder settings (dc_utils.py:72-86). Returns False when the
-    plugin or the codec is missing so the caller can fall back to cv2."""
+    plugin or the codec is missing so the caller can fall back to cv2.
+
+    The whole encode is inside the try: imageio spawns ffmpeg lazily on the
+    first append_data, so a missing libx264 surfaces there, not in
+    get_writer — a partial file is removed and the cv2 fallback still runs.
+    """
     try:
         import imageio
-        writer = imageio.get_writer(output_path, fps=fps, macro_block_size=1,
-                                    codec="libx264",
-                                    ffmpeg_params=["-crf", "18"])
+        with imageio.get_writer(output_path, fps=fps, macro_block_size=1,
+                                codec="libx264",
+                                ffmpeg_params=["-crf", "18"]) as writer:
+            for f in frames:
+                writer.append_data(f)
+        return True
     except Exception:
+        try:
+            import os
+            os.remove(output_path)
+        except OSError:
+            pass
         return False
-    with writer:
-        for f in frames:
-            writer.append_data(f)
-    return True
+
+
+class IncrementalVideoWriter:
+    """Append-as-you-go mp4 writer for streaming mode: frames are encoded
+    as they arrive instead of being held in host RAM. Prefers libx264 crf18
+    (imageio-ffmpeg, reference parity); falls back to cv2 mp4v when the
+    plugin is missing. Use as a context manager or call close()."""
+
+    def __init__(self, output_path: str, fps: float):
+        self.path = output_path
+        self.fps = fps
+        self._w = None
+        self._kind = None
+
+    def _open(self, h: int, w: int):
+        try:
+            import imageio
+            self._w = imageio.get_writer(self.path, fps=self.fps,
+                                         macro_block_size=1, codec="libx264",
+                                         ffmpeg_params=["-crf", "18"])
+            self._kind = "imageio"
+        except Exception:
+            assert _CV2, "OpenCV required for video encode"
+            self._w = cv2.VideoWriter(self.path,
+                                      cv2.VideoWriter_fourcc(*"mp4v"),
+                                      self.fps, (w, h))
+            if not self._w.isOpened():
+                raise IOError(f"cannot open video writer for {self.path}")
+            self._kind = "cv2"
+
+    def append(self, frame_rgb: np.ndarray):
+        if self._w is None:
+            self._open(*frame_rgb.shape[:2])
+        if self._kind == "imageio":
+            self._w.append_data(frame_rgb)
+        else:
+            self._w.write(cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2BGR))
+
+    def close(self):
+        if self._w is not None:
+            if self._kind == "imageio":
+                self._w.close()
+            else:
+                self._w.release()
+            self._w = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def save_video(frames: np.ndarray, output_path: str, fps: float = 10,
