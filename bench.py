@@ -31,6 +31,16 @@ def main():
     parser.add_argument("--size", type=int, default=518)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--chain", type=int, default=3,
+                        help="window forwards per dispatch (lax.fori_loop). "
+                             "Each timed call dispatches once and runs the "
+                             "forward CHAIN times with a data dependency "
+                             "between iterations, so per-call host dispatch "
+                             "latency (~26 ms over this dev tunnel; ~0 on a "
+                             "real TPU host) amortizes out of the ms/frame "
+                             "number, matching how the reference's A100 "
+                             "figures were taken (local, no RPC). --chain 1 "
+                             "restores the raw single-dispatch measurement")
     parser.add_argument("--fp32", action="store_true")
     parser.add_argument("--int8", action="store_true",
                         help="int8 encoder matmuls (w8a8, ops/quant.py); "
@@ -61,30 +71,33 @@ def main():
             (args.batch, args.frames, args.size, args.size, 3)), dtype)
 
     if args.int8:
-        from video_depth_anything_tpu.models.dinov2 import \
-            calibrate_encoder_stats
-        from video_depth_anything_tpu.ops import quant as quant_ops
+        from video_depth_anything_tpu.models.video_depth import (
+            calibrate_stats, quantize_model)
 
         @jax.jit
         def calib(p, xx):
-            flat = xx.reshape(-1, args.size, args.size, 3)
-            return calibrate_encoder_stats(
-                p["pretrained"], flat, cfg.vit, cfg.intermediate_layer_idx,
-                use_pallas=use_pallas)
+            return calibrate_stats(p, xx, cfg, use_pallas=use_pallas)
 
         stats = jax.device_get(calib(params, x))
-        params_fwd = {**params,
-                      "pretrained": quant_ops.quantize_encoder(
-                          params["pretrained"], stats, cfg.vit.depth)}
+        params_fwd = quantize_model(params, stats, cfg)
     else:
         params_fwd = params
+
+    chain = max(args.chain, 1)
 
     @jax.jit
     def fn(p, x):
         # Scalar readout: timing fetches it to host, which is robust against
         # backends where block_until_ready returns before compute finishes.
-        out = forward(p, x, cfg, use_pallas=use_pallas)
-        return jnp.sum(out)
+        # The carry feeds back into the input (numerically negligible at
+        # 1e-12 of a bf16 activation) so XLA cannot hoist the loop-invariant
+        # forward out of the chain.
+        def body(i, acc):
+            out = forward(p, x + (acc * 1e-12).astype(x.dtype), cfg,
+                          use_pallas=use_pallas)
+            return jnp.sum(out)
+
+        return jax.lax.fori_loop(0, chain, body, jnp.float32(0.0))
 
     # Compile + warmup.
     float(fn(params_fwd, x))
@@ -98,7 +111,7 @@ def main():
         times.append(time.perf_counter() - t0)
 
     p50 = sorted(times)[len(times) // 2]
-    ms_per_frame = p50 * 1000.0 / (args.frames * args.batch)
+    ms_per_frame = p50 * 1000.0 / (args.frames * args.batch * chain)
     baseline = BASELINES_MS_PER_FRAME[args.encoder]
     suffix = "_int8" if args.int8 else ""
     record = {
@@ -107,6 +120,7 @@ def main():
         "unit": "ms/frame",
         "vs_baseline": round(baseline / ms_per_frame, 3),
         "batch_windows": args.batch,
+        "chain": chain,
         "fps_per_chip": round(1000.0 / ms_per_frame, 2),
     }
 
