@@ -54,9 +54,12 @@ def test_encoder_int8_close_to_fp32():
 
     ref = dinov2.get_intermediate_layers(params, x, TOY, taps,
                                          use_pallas=False)
-    stats = dinov2.calibrate_encoder_stats(params, x, TOY, taps,
-                                           use_pallas=False)
+    feats, stats = dinov2.calibrate_encoder_stats(params, x, TOY, taps,
+                                                  use_pallas=False)
     assert all(np.asarray(v).shape == (4,) for v in stats.values())
+    # calibration's tap features equal the plain forward's (shared pass)
+    for (rp, rc), (fp, fc) in zip(ref, feats):
+        np.testing.assert_array_equal(np.asarray(rp), np.asarray(fp))
     pq = quant.quantize_encoder(params, stats, TOY.depth)
     got = dinov2.get_intermediate_layers(pq, x, TOY, taps, use_pallas=False)
 
@@ -77,6 +80,37 @@ def test_quantized_blocks_stay_scan_sliceable():
     assert pq["blocks"]["attn"]["q"]["w_i8"].dtype == jnp.int8
     sliced = dinov2._slice_blocks(pq["blocks"], 1, 3)
     assert sliced["mlp"]["fc1"]["ws"].shape[0] == 2
+
+
+def test_temporal_module_int8_close_to_fp32():
+    from video_depth_anything_tpu.config import ModelConfig, VIT_CONFIGS
+    from video_depth_anything_tpu.models.motion import temporal_module
+    from video_depth_anything_tpu.models.video_depth import init_head_params
+
+    VIT_CONFIGS["_tinyq"] = ViTConfig(embed_dim=64, depth=2, num_heads=2)
+    cfg = ModelConfig(encoder="_tinyq", features=64,
+                      out_channels=(64, 64, 64, 64), num_frames=4)
+    rng = np.random.default_rng(3)
+    p = jax.tree.map(jnp.asarray, init_head_params(rng, cfg))
+    mp = p["motion_modules"]["0"]
+    # zero-init proj_out makes the module an identity; give it real weights
+    mp["temporal_transformer"]["proj_out"] = {
+        "w": jnp.asarray(rng.standard_normal((64, 64)) * 0.05, jnp.float32),
+        "b": jnp.zeros((64,), jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((8, 5, 5, 64)), jnp.float32)
+    mkw = dict(num_heads=cfg.num_attention_heads, pe=cfg.pe,
+               num_transformer_block=cfg.num_transformer_block,
+               num_attention_blocks=cfg.num_attention_blocks)
+
+    ref, stats = temporal_module(mp, x, 2, 4, collect_stats=True, **mkw)
+    mq = quant.quantize_motion_module(mp, stats)
+    got = temporal_module(mq, x, 2, 4, **mkw)
+    rel = (np.linalg.norm(np.asarray(got) - np.asarray(ref))
+           / np.linalg.norm(np.asarray(ref)))
+    assert rel < 0.05, rel
+    # stats tree covers every quantized site
+    assert set(stats) == {"proj_in", "proj_out", "blocks"}
+    assert set(stats["blocks"]["0"]) == {"attn", "ff_proj", "ff_g"}
 
 
 def test_pipeline_int8_within_budget():

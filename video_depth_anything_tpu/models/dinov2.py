@@ -225,8 +225,11 @@ def calibrate_encoder_stats(params, x: jax.Array, cfg: ViTConfig, taps,
                             use_pallas=None):
     """One calibration forward collecting per-block activation absmaxes.
 
-    Returns {"qkv"|"proj"|"fc1"|"fc2": [L'] fp32} where L' = last tap + 1
-    (later blocks never run at inference). Feed to
+    Returns (results, stats): `results` are the tap features exactly as
+    get_intermediate_layers returns them (so head calibration can continue
+    from here without a second encoder pass), `stats` is
+    {"qkv"|"proj"|"fc1"|"fc2": [L'] fp32} with L' = last tap + 1 (later
+    blocks never run at inference). Feed stats to
     ops/quant.py::quantize_encoder. MLP FFN only (vitg SwiGLU stays bf16).
     """
     assert cfg.ffn_layer == "mlp", "int8 calibration supports the MLP FFN only"
@@ -234,13 +237,20 @@ def calibrate_encoder_stats(params, x: jax.Array, cfg: ViTConfig, taps,
     step = partial(_block_step, num_heads=cfg.num_heads, use_pallas=use_pallas,
                    ffn_layer=cfg.ffn_layer, collect_stats=True)
     segs = []
+    outs = []
     start = 0
     for t in taps:
         seg = _slice_blocks(params["blocks"], start, t + 1)
         tokens, ys = jax.lax.scan(step, tokens, seg)
         segs.append(ys)
+        outs.append(tokens)
         start = t + 1
-    return {k: jnp.concatenate([s[k] for s in segs]) for k in segs[0]}
+    results = []
+    for o in outs:
+        o = vnn.layer_norm(params["norm"], o, eps=1e-6)
+        results.append((o[:, 1:, :], o[:, 0, :]))
+    stats = {k: jnp.concatenate([s[k] for s in segs]) for k in segs[0]}
+    return results, stats
 
 
 # ---------------------------------------------------------------------------

@@ -18,7 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import nn as vnn
+from ..ops import quant as quant_ops
 from ..ops.attention import temporal_mha
+
+
+def _amax(x):
+    return jnp.max(jnp.abs(x.astype(jnp.float32)))
 
 
 def sinusoidal_pe(d_model: int, max_len: int) -> np.ndarray:
@@ -52,16 +57,31 @@ def _apply_rope(x, freqs_cis):
 
 
 def _temporal_attention(p, x, num_heads: int, pe: str,
-                        use_pallas: bool | None = None):
-    """TemporalAttention.forward (motion_module.py:230-297) on [BD, T, C]."""
+                        use_pallas: bool | None = None,
+                        collect_stats: bool = False, stats: dict = None):
+    """TemporalAttention.forward (motion_module.py:230-297) on [BD, T, C].
+
+    When p carries a "qs" leaf (ops/quant.py::quantize_motion_module) the
+    q/k/v/out projections run w8a8 int8 — q/k/v share one quantized input.
+    With collect_stats, activation absmaxes land in `stats`.
+    """
     import jax
 
     bd, t, c = x.shape
     if pe == "ape":
         x = x + p["pos_encoder"]["pe"][:, :t].astype(x.dtype)
-    q = vnn.linear(p["to_q"], x)
-    k = vnn.linear(p["to_k"], x)
-    v = vnn.linear(p["to_v"], x)
+    qs = p.get("qs")
+    if collect_stats:
+        stats["qkv"] = _amax(x)
+    if qs is not None:
+        xq = quant_ops.quant_act(x, qs["qkv"])
+        q = quant_ops.qlinear(p["to_q"], xq, qs["qkv"], x.dtype)
+        k = quant_ops.qlinear(p["to_k"], xq, qs["qkv"], x.dtype)
+        v = quant_ops.qlinear(p["to_v"], xq, qs["qkv"], x.dtype)
+    else:
+        q = vnn.linear(p["to_q"], x)
+        k = vnn.linear(p["to_k"], x)
+        v = vnn.linear(p["to_v"], x)
     if pe == "rope":
         q = _apply_rope(q, p["_freqs_cis"])
         k = _apply_rope(k, p["_freqs_cis"])
@@ -96,47 +116,80 @@ def _temporal_attention(p, x, num_heads: int, pe: str,
         k = k.reshape(bd, t, num_heads, dh).transpose(0, 2, 1, 3)
         v = v.reshape(bd, t, num_heads, dh).transpose(0, 2, 1, 3)
         o = temporal_mha(q, k, v).transpose(0, 2, 1, 3).reshape(bd, t, c)
+    if collect_stats:
+        stats["out"] = _amax(o)
+    if qs is not None:
+        return quant_ops.linear_maybe_q(p["to_out"]["0"], o, qs["out"])
     return vnn.linear(p["to_out"]["0"], o)
 
 
-def _geglu_ff(p, x):
+def _geglu_ff(p, x, collect_stats: bool = False, stats: dict = None):
     """FeedForward GEGLU (attention.py:296-400): x*gelu(gate) -> linear."""
-    h = vnn.linear(p["net"]["0"]["proj"], x)
+    qs = p.get("qs")
+    if collect_stats:
+        stats["ff_proj"] = _amax(x)
+    h = quant_ops.linear_maybe_q(p["net"]["0"]["proj"], x,
+                                 qs["ff_proj"] if qs else None)
     val, gate = jnp.split(h, 2, axis=-1)
     h = val * vnn.gelu(gate)
-    return vnn.linear(p["net"]["2"], h)
+    if collect_stats:
+        stats["ff_g"] = _amax(h)
+    return quant_ops.linear_maybe_q(p["net"]["2"], h,
+                                    qs["ff_g"] if qs else None)
 
 
 def _transformer_block(p, x, b: int, t: int, num_heads: int, pe: str,
-                       num_attention_blocks: int = 2):
+                       num_attention_blocks: int = 2,
+                       collect_stats: bool = False, stats: dict = None):
     """TemporalTransformerBlock (motion_module.py:129-177) on [B*T, HW, C]."""
     bt, hw, c = x.shape
     for i in range(num_attention_blocks):
         y = vnn.layer_norm(p["norms"][str(i)], x, eps=1e-5)
         # (b f) d c -> (b d) f c  (motion_module.py:232)
         y = y.reshape(b, t, hw, c).transpose(0, 2, 1, 3).reshape(b * hw, t, c)
-        y = _temporal_attention(p["attention_blocks"][str(i)], y, num_heads, pe)
+        ast = {} if collect_stats else None
+        y = _temporal_attention(p["attention_blocks"][str(i)], y, num_heads,
+                                pe, collect_stats=collect_stats, stats=ast)
+        if collect_stats:
+            stats.setdefault("attn", {})[str(i)] = ast
         y = y.reshape(b, hw, t, c).transpose(0, 2, 1, 3).reshape(bt, hw, c)
         x = x + y
-    x = x + _geglu_ff(p["ff"], vnn.layer_norm(p["ff_norm"], x, eps=1e-5))
+    x = x + _geglu_ff(p["ff"], vnn.layer_norm(p["ff_norm"], x, eps=1e-5),
+                      collect_stats=collect_stats, stats=stats)
     return x
 
 
 def temporal_module(p, x, b: int, t: int, num_heads: int = 8, pe: str = "ape",
-                    num_transformer_block: int = 1, num_attention_blocks: int = 2):
+                    num_transformer_block: int = 1, num_attention_blocks: int = 2,
+                    collect_stats: bool = False):
     """TemporalModule on NHWC features x: [B*T, H, W, C] -> same shape.
 
     GroupNorm -> proj_in -> transformer blocks -> proj_out + residual
-    (motion_module.py:102-126).
+    (motion_module.py:102-126). With collect_stats, returns (out, stats)
+    where stats carries the activation absmaxes that
+    ops/quant.py::quantize_motion_module turns into static int8 scales.
     """
     tt = p["temporal_transformer"]
+    qs = tt.get("qs")
+    stats = {} if collect_stats else None
     bt, h, w, c = x.shape
     residual = x
     y = vnn.group_norm(tt["norm"], x, num_groups=32, eps=1e-6)
     y = y.reshape(bt, h * w, c)
-    y = vnn.linear(tt["proj_in"], y)
+    if collect_stats:
+        stats["proj_in"] = _amax(y)
+    y = quant_ops.linear_maybe_q(tt["proj_in"], y,
+                                 qs["proj_in"] if qs else None)
     for i in range(num_transformer_block):
+        bst = {} if collect_stats else None
         y = _transformer_block(tt["transformer_blocks"][str(i)], y, b, t,
-                               num_heads, pe, num_attention_blocks)
-    y = vnn.linear(tt["proj_out"], y)
-    return y.reshape(bt, h, w, c) + residual
+                               num_heads, pe, num_attention_blocks,
+                               collect_stats=collect_stats, stats=bst)
+        if collect_stats:
+            stats.setdefault("blocks", {})[str(i)] = bst
+    if collect_stats:
+        stats["proj_out"] = _amax(y)
+    y = quant_ops.linear_maybe_q(tt["proj_out"], y,
+                                 qs["proj_out"] if qs else None)
+    out = y.reshape(bt, h, w, c) + residual
+    return (out, stats) if collect_stats else out

@@ -26,11 +26,14 @@ from .motion import sinusoidal_pe, temporal_module
 
 
 def _head_forward(p, feats, ph: int, pw: int, b: int, t: int, cfg: ModelConfig,
-                  fp32_island: bool = True, train: bool = False):
+                  fp32_island: bool = True, train: bool = False,
+                  collect_stats: bool = False):
     """DPTHeadTemporal.forward (dpt_temporal.py:53-114).
 
     feats: list of 4 (patch_tokens [B*T, P, D], cls [B*T, D]) tuples.
-    Returns depth [B*T, 14*ph, 14*pw, 1] (fp32 when fp32_island).
+    Returns depth [B*T, 14*ph, 14*pw, 1] (fp32 when fp32_island); with
+    collect_stats, (depth, {"0".."3": motion-module stat trees}) for int8
+    calibration (ops/quant.py::quantize_motion_module).
     """
     n = feats[0][0].shape[0]
     d = feats[0][0].shape[-1]
@@ -58,26 +61,36 @@ def _head_forward(p, feats, ph: int, pw: int, b: int, t: int, cfg: ModelConfig,
     mm = p["motion_modules"]
     mkw = dict(num_heads=cfg.num_attention_heads, pe=cfg.pe,
                num_transformer_block=cfg.num_transformer_block,
-               num_attention_blocks=cfg.num_attention_blocks)
-    layer_3 = temporal_module(mm["0"], layer_3, b, t, **mkw)
-    layer_4 = temporal_module(mm["1"], layer_4, b, t, **mkw)
+               num_attention_blocks=cfg.num_attention_blocks,
+               collect_stats=collect_stats)
+    mstats = {}
+
+    def tmod(key, feat):
+        out = temporal_module(mm[key], feat, b, t, **mkw)
+        if collect_stats:
+            out, mstats[key] = out
+        return out
+
+    layer_3 = tmod("0", layer_3)
+    layer_4 = tmod("1", layer_4)
 
     l1rn, l2rn, l3rn, l4rn = dpt.scratch_rn(p, [layer_1, layer_2, layer_3, layer_4])
 
     sc = p["scratch"]
     path_4 = dpt.feature_fusion_block(sc["refinenet4"], l4rn,
                                       size=l3rn.shape[-3:-1], use_bn=cfg.use_bn)
-    path_4 = temporal_module(mm["2"], path_4, b, t, **mkw)
+    path_4 = tmod("2", path_4)
     path_3 = dpt.feature_fusion_block(sc["refinenet3"], path_4, l3rn,
                                       size=l2rn.shape[-3:-1], use_bn=cfg.use_bn)
-    path_3 = temporal_module(mm["3"], path_3, b, t, **mkw)
+    path_3 = tmod("3", path_3)
     path_2 = dpt.feature_fusion_block(sc["refinenet2"], path_3, l2rn,
                                       size=l1rn.shape[-3:-1], use_bn=cfg.use_bn)
     path_1 = dpt.feature_fusion_block(sc["refinenet1"], path_2, l1rn,
                                       use_bn=cfg.use_bn)
 
-    return dpt.output_head(p, path_1, (14 * ph, 14 * pw), fp32_island,
-                           mixed_island=not train)
+    depth = dpt.output_head(p, path_1, (14 * ph, 14 * pw), fp32_island,
+                            mixed_island=not train)
+    return (depth, mstats) if collect_stats else depth
 
 
 def forward(params, x: jax.Array, cfg: ModelConfig,
@@ -98,6 +111,38 @@ def forward(params, x: jax.Array, cfg: ModelConfig,
     depth = resize_bilinear_align_corners(depth.astype(jnp.float32), (h, w))
     depth = jnp.maximum(depth, 0.0)
     return depth[..., 0].reshape(b, t, h, w)
+
+
+def calibrate_stats(params, x: jax.Array, cfg: ModelConfig, use_pallas=None):
+    """One int8-calibration forward over the full model.
+
+    x: [B, T, H, W, 3] normalized. Returns {"encoder": per-block absmax
+    arrays, "motion": per-module stat trees} — feed to quantize_model.
+    """
+    b, t, h, w, _ = x.shape
+    ph, pw = h // cfg.vit.patch_size, w // cfg.vit.patch_size
+    flat = x.reshape(b * t, h, w, 3)
+    feats, enc_stats = dinov2.calibrate_encoder_stats(
+        params["pretrained"], flat, cfg.vit, cfg.intermediate_layer_idx,
+        use_pallas=use_pallas)
+    _, motion_stats = _head_forward(params["head"], feats, ph, pw, b, t, cfg,
+                                    collect_stats=True)
+    return {"encoder": enc_stats, "motion": motion_stats}
+
+
+def quantize_model(params, stats, cfg: ModelConfig):
+    """int8-quantize the encoder blocks and the 4 temporal motion modules
+    (ops/quant.py). Everything else (DPT convs, norms, output island) stays
+    bf16/fp32."""
+    from ..ops import quant as quant_ops
+
+    pretrained_q = quant_ops.quantize_encoder(
+        params["pretrained"], stats["encoder"], cfg.vit.depth)
+    mm = params["head"]["motion_modules"]
+    mm_q = {k: quant_ops.quantize_motion_module(mm[k], stats["motion"][k])
+            for k in mm}
+    head_q = {**params["head"], "motion_modules": mm_q}
+    return {**params, "pretrained": pretrained_q, "head": head_q}
 
 
 # ---------------------------------------------------------------------------

@@ -71,6 +71,60 @@ def _quantize_site(site):
     return out
 
 
+def linear_maybe_q(p, x, amax=None, x_i8=None):
+    """vnn.linear that transparently takes the int8 path when `p` carries
+    int8 leaves. amax: the site's static activation absmax; x_i8: an
+    already-quantized input shared between sites (e.g. one LN output
+    feeding q, k and v — quantize once)."""
+    if "w_i8" not in p:
+        from . import nn as vnn
+        return vnn.linear(p, x)
+    if x_i8 is None:
+        x_i8 = quant_act(x, amax)
+    return qlinear(p, x_i8, amax, x.dtype)
+
+
+def quantize_motion_module(mp, stats):
+    """Quantize one TemporalModule's matmuls (models/motion.py) — proj_in,
+    per-attention-block to_q/k/v/to_out, GEGLU ff, proj_out — using the
+    stats tree temporal_module(collect_stats=True) returned. Activation
+    scales land in "qs" dicts at the level the forward reads them."""
+    tt = mp["temporal_transformer"]
+
+    def s(v):
+        return jnp.asarray(v, jnp.float32)
+
+    new_blocks = {}
+    for i, bp in tt["transformer_blocks"].items():
+        bst = stats["blocks"][i]
+        new_attn = {}
+        for j, ap in bp["attention_blocks"].items():
+            ast = bst["attn"][j]
+            new_attn[j] = {
+                **ap,
+                "to_q": _quantize_site(ap["to_q"]),
+                "to_k": _quantize_site(ap["to_k"]),
+                "to_v": _quantize_site(ap["to_v"]),
+                "to_out": {"0": _quantize_site(ap["to_out"]["0"])},
+                "qs": {"qkv": s(ast["qkv"]), "out": s(ast["out"])},
+            }
+        new_ff = {
+            "net": {"0": {"proj": _quantize_site(bp["ff"]["net"]["0"]["proj"])},
+                    "2": _quantize_site(bp["ff"]["net"]["2"])},
+            "qs": {"ff_proj": s(bst["ff_proj"]), "ff_g": s(bst["ff_g"])},
+        }
+        new_blocks[i] = {**bp, "attention_blocks": new_attn, "ff": new_ff}
+    new_tt = {
+        **tt,
+        "proj_in": _quantize_site(tt["proj_in"]),
+        "proj_out": _quantize_site(tt["proj_out"]),
+        "transformer_blocks": new_blocks,
+        "qs": {"proj_in": s(stats["proj_in"]),
+               "proj_out": s(stats["proj_out"])},
+    }
+    return {**mp, "temporal_transformer": new_tt}
+
+
 def quantize_encoder(pretrained, act_stats, depth: int):
     """Quantize the stacked encoder blocks of a `pretrained` param tree.
 

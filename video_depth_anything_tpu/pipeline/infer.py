@@ -58,30 +58,27 @@ class VideoDepthPipeline:
         return self._cast_cache[key]
 
     def _quantized_params(self, params, calib_win, net_hw, dtype):
-        """int8-quantize the encoder using the first window as calibration.
+        """int8-quantize the encoder + temporal modules using the first
+        window as calibration.
 
-        One extra (bf16) encoder forward collects per-block activation
-        absmaxes (models/dinov2.py::calibrate_encoder_stats); the quantized
-        tree is cached per (net_hw, dtype). ops/quant.py has the numerics.
+        One extra (bf16) forward collects activation absmaxes
+        (models/video_depth.py::calibrate_stats); the quantized tree is
+        cached per (net_hw, dtype). ops/quant.py has the numerics.
         """
         key = ("int8", net_hw, jnp.dtype(dtype).name)
         if key not in self._cast_cache:
-            from ..models.dinov2 import calibrate_encoder_stats
-            from ..ops import quant as quant_ops
             cfg = self.cfg
             use_pallas = self.use_pallas
 
             @jax.jit
             def calib(p, win_u8):
                 x = preprocess.preprocess_frames(win_u8, net_hw, dtype=dtype)
-                return calibrate_encoder_stats(
-                    p["pretrained"], x, cfg.vit, cfg.intermediate_layer_idx,
-                    use_pallas=use_pallas)
+                return video_depth.calibrate_stats(p, x[None], cfg,
+                                                   use_pallas=use_pallas)
 
             stats = jax.device_get(calib(params, jnp.asarray(calib_win)))
-            pretrained_q = quant_ops.quantize_encoder(
-                params["pretrained"], stats, cfg.vit.depth)
-            self._cast_cache[key] = {**params, "pretrained": pretrained_q}
+            self._cast_cache[key] = video_depth.quantize_model(params, stats,
+                                                               cfg)
         return self._cast_cache[key]
 
     def _put_windows(self, win):
