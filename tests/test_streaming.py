@@ -39,6 +39,25 @@ def test_streaming_matches_batch(pipe, n):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_incremental_writer_matches_batch_writer(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from video_depth_anything_tpu.utils.video_io import (IncrementalVideoWriter,
+                                                         read_video_frames,
+                                                         save_video)
+
+    frames = synthetic_video(n=9, hw=(32, 48))
+    a, b = str(tmp_path / "a.mp4"), str(tmp_path / "b.mp4")
+    save_video(frames, a, fps=10)
+    with IncrementalVideoWriter(b, fps=10) as w:
+        for f in frames:
+            w.append(f)
+    fa, _ = read_video_frames(a)
+    fb, _ = read_video_frames(b)
+    assert fa.shape == fb.shape == (9, 32, 48, 3)
+    # same codec settings -> decoded content matches to compression noise
+    assert np.mean(np.abs(fa.astype(np.int16) - fb.astype(np.int16))) < 2.0
+
+
 def test_stream_video_frames_roundtrip(tmp_path):
     cv2 = pytest.importorskip("cv2")
     from video_depth_anything_tpu.utils.video_io import (read_video_frames,
