@@ -26,8 +26,22 @@ def _batch_norm(p, x, eps: float = 1e-5):
     return x * scale + bias
 
 
-def residual_conv_unit(p, x, use_bn: bool = False):
-    """ResidualConvUnit (util/blocks.py:37-91): relu-conv[-bn]-relu-conv[-bn] + skip."""
+def residual_conv_unit(p, x, use_bn: bool = False,
+                       use_pallas: bool | None = None):
+    """ResidualConvUnit (util/blocks.py:37-91): relu-conv[-bn]-relu-conv[-bn] + skip.
+
+    use_pallas=True opts into the fused implicit-GEMM Pallas kernel
+    (ops/pallas_conv.py). It is NOT the default: measured on v5e
+    (tools/bench_rcu.py, 32x148x148x256 bf16) the kernel runs at ~80 TF/s
+    vs XLA's ~110 TF/s — XLA's conv emitter already overlaps its epilogue
+    sweeps with the MXU, while the kernel's fp32 tap accumulation and
+    shift copies serialize against the matmuls (same Mosaic phase
+    plateau the flash kernel hits). Kept as a measured negative result.
+    """
+    if use_pallas:
+        from ..ops.pallas_conv import fused_rcu, rcu_supported
+        if rcu_supported(x, use_bn):
+            return fused_rcu(p, x)
     y = jnp.maximum(x, 0)
     y = vnn.conv2d(p["conv1"], y, stride=1, padding=1)
     if use_bn:
@@ -39,20 +53,26 @@ def residual_conv_unit(p, x, use_bn: bool = False):
     return y + x
 
 
-def feature_fusion_block(p, x, skip=None, size=None, use_bn: bool = False):
+def feature_fusion_block(p, x, skip=None, size=None, use_bn: bool = False,
+                         use_pallas: bool | None = None):
     """FeatureFusionBlock (util/blocks.py:94-162), align_corners=True.
 
     size=None means scale_factor=2 (refinenet1, dpt.py:153).
     """
     out = x
     if skip is not None:
-        out = out + residual_conv_unit(p["resConfUnit1"], skip, use_bn)
-    out = residual_conv_unit(p["resConfUnit2"], out, use_bn)
+        out = out + residual_conv_unit(p["resConfUnit1"], skip, use_bn,
+                                       use_pallas)
+    out = residual_conv_unit(p["resConfUnit2"], out, use_bn, use_pallas)
+    # The reference applies the 1x1 out_conv AFTER the 2x upsample
+    # (util/blocks.py:152-158). A 1x1 conv is a pointwise affine channel
+    # map and align-corners bilinear weights sum to 1, so the two commute
+    # exactly (conv(resize(x)) == resize(conv(x)) incl. the bias term);
+    # running the conv at the pre-upsample resolution costs 4x fewer FLOPs.
+    out = vnn.conv2d(p["out_conv"], out, stride=1, padding=0)
     if size is None:
         size = (2 * out.shape[-3], 2 * out.shape[-2])
-    out = resize_bilinear_align_corners(out, size)
-    out = vnn.conv2d(p["out_conv"], out, stride=1, padding=0)
-    return out
+    return resize_bilinear_align_corners(out, size)
 
 
 def scratch_rn(p, feats):

@@ -76,6 +76,8 @@ def _head_forward(p, feats, ph: int, pw: int, b: int, t: int, cfg: ModelConfig,
 
     l1rn, l2rn, l3rn, l4rn = dpt.scratch_rn(p, [layer_1, layer_2, layer_3, layer_4])
 
+    # RCUs stay on XLA convs: the fused Pallas RCU measured slower
+    # (see models/dpt.py::residual_conv_unit and tools/bench_rcu.py).
     sc = p["scratch"]
     path_4 = dpt.feature_fusion_block(sc["refinenet4"], l4rn,
                                       size=l3rn.shape[-3:-1], use_bn=cfg.use_bn)
