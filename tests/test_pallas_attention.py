@@ -9,20 +9,23 @@ from video_depth_anything_tpu.ops.attention import _xla_mha
 from video_depth_anything_tpu.ops.pallas_attention import flash_attention
 
 
+@pytest.mark.parametrize("mxu_denom", [True, False])
 @pytest.mark.parametrize("b,s,h,d", [(2, 1370, 6, 64), (1, 257, 4, 64), (2, 128, 2, 32)])
-def test_flash_attention_matches_xla(b, s, h, d):
+def test_flash_attention_matches_xla(b, s, h, d, mxu_denom):
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((b, h, s, d), dtype=np.float32))
     k = jnp.asarray(rng.standard_normal((b, h, s, d), dtype=np.float32))
     v = jnp.asarray(rng.standard_normal((b, h, s, d), dtype=np.float32))
     scale = d ** -0.5
     ref = _xla_mha(q, k, v, scale)
-    got = flash_attention(q, k, v, scale=scale, interpret=True)
+    got = flash_attention(q, k, v, scale=scale, interpret=True,
+                          mxu_denom=mxu_denom)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("mxu_denom", [True, False])
 @pytest.mark.parametrize("b,s,h,d", [(2, 300, 6, 64), (1, 130, 4, 64)])
-def test_flash_attention_packed_matches_xla(b, s, h, d):
+def test_flash_attention_packed_matches_xla(b, s, h, d, mxu_denom):
     from video_depth_anything_tpu.ops.pallas_attention import (
         flash_attention_packed,
     )
@@ -38,7 +41,7 @@ def test_flash_attention_packed_matches_xla(b, s, h, d):
     vh = v.reshape(b, s, h, d).transpose(0, 2, 1, 3)
     ref = _xla_mha(qh, kh, vh, scale).transpose(0, 2, 1, 3).reshape(b, s, c)
     got = flash_attention_packed(q, k, v, num_heads=h, scale=scale,
-                                 interpret=True)
+                                 interpret=True, mxu_denom=mxu_denom)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
@@ -71,13 +74,16 @@ def test_flash_attention_long_sequence_adaptive_block():
                                rtol=1e-5, atol=1e-5)
 
 
-def test_flash_attention_padding_mask():
-    """Padded key positions must not leak into the softmax."""
+@pytest.mark.parametrize("mxu_denom", [True, False])
+def test_flash_attention_padding_mask(mxu_denom):
+    """Padded key positions must not leak into the softmax (with mxu_denom,
+    the pad mask lives in the denominator ones-column, not the e tile)."""
     rng = np.random.default_rng(1)
     s = 130  # pads to 256
     q = jnp.asarray(rng.standard_normal((1, 2, s, 64), dtype=np.float32))
     k = jnp.asarray(rng.standard_normal((1, 2, s, 64), dtype=np.float32))
     v = jnp.asarray(100.0 * rng.standard_normal((1, 2, s, 64), dtype=np.float32))
     ref = _xla_mha(q, k, v, 0.125)
-    got = flash_attention(q, k, v, scale=0.125, interpret=True)
+    got = flash_attention(q, k, v, scale=0.125, interpret=True,
+                          mxu_denom=mxu_denom)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-3)

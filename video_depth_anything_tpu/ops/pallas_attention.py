@@ -53,7 +53,8 @@ def _fit_block_q(block_q: int, s_pad: int, itemsize: int = 2) -> int:
     return max(128, max_bq // 128 * 128)  # 128-granular fallback (pads q)
 
 
-def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int, dh: int):
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int, dh: int,
+                   mxu_denom: bool = True):
     """Two heads per grid step, operands in the NATURAL [B, S, H*dh] layout
     of the projection matmuls — Mosaic's (8,128) tiling forbids dh=64 as a
     block's last dim, but a 2-head 128-lane block satisfies it, and in-VMEM
@@ -69,8 +70,26 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int, dh: int):
     chains = [(i, r) for i in range(2) for r in ((0, half), (half, bq))
               ] if half % 8 == 0 and half > 0 else [(i, (0, bq)) for i in range(2)]
 
+    if mxu_denom:
+        # Masked ones-column appended to V: the PV matmul's natural output
+        # is dh=64 of the MXU's 128 lanes, so widening the rhs to 128 lanes
+        # costs zero extra MXU passes — and lane dh of the widened output
+        # becomes sum_real_keys(e) with fp32 MXU accumulation. This deletes
+        # two full-width VPU sweeps from the softmax: the fp32 sum sweep
+        # AND the key-pad select sweep (pads get weight 0 in the column;
+        # their V rows are zero-padded so the PV lanes never see them).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (k_ref.shape[1], dh), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (k_ref.shape[1], dh), 0)
+        mcol = ((lane == 0) & (row < s_actual)).astype(v_ref.dtype)
+        # One widened rhs per head, shared by both row-half chains.
+        rhs = [jnp.concatenate([v_ref[0, :, i * dh:(i + 1) * dh], mcol],
+                               axis=1) for i in range(2)]
+
     def qk(i, rows):
         sl = slice(i * dh, (i + 1) * dh)
+        # NOTE: fp32 scores are forced — Mosaic requires 32-bit matmul
+        # accumulators ('Expected matmul acc to be 32-bit'), and a separate
+        # fp32->bf16 cast sweep before max/exp costs what it saves.
         return jax.lax.dot_general(
             q_ref[0, rows[0]:rows[1], sl], k_ref[0, :, sl],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -84,6 +103,8 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int, dh: int):
         # the p-tile cast rounding the normalized form already had).
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m).astype(v_ref.dtype)
+        if mxu_denom:
+            return e, None
         if s_actual < k_ref.shape[1]:
             key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             e = jnp.where(key_ids < s_actual, e, 0.0)
@@ -92,9 +113,16 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int, dh: int):
 
     def pv(i, rows, p, inv):
         sl = slice(i * dh, (i + 1) * dh)
-        o = jax.lax.dot_general(
-            p, v_ref[0, :, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if mxu_denom:
+            o = jax.lax.dot_general(
+                p, rhs[i], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            inv = 1.0 / jnp.maximum(o[:, dh:dh + 1], 1e-30)
+            o = o[:, :dh]
+        else:
+            o = jax.lax.dot_general(
+                p, v_ref[0, :, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         o_ref[0, rows[0]:rows[1], sl] = (o * inv).astype(o_ref.dtype)
 
     scores = [qk(i, rows) for i, rows in chains]
@@ -104,9 +132,10 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int, dh: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_heads", "block_q", "interpret"))
+                   static_argnames=("num_heads", "block_q", "interpret",
+                                    "mxu_denom"))
 def flash_attention_qkv_fused(qkv, *, num_heads: int, block_q: int = 4096,
-                              interpret: bool = False):
+                              interpret: bool = False, mxu_denom: bool = True):
     """Attention on a fused projection output qkv: [B, S, 3C]
     (C = num_heads * dh, layout [q | k | v], q already scaled).
 
@@ -122,7 +151,8 @@ def flash_attention_qkv_fused(qkv, *, num_heads: int, block_q: int = 4096,
             or c % _LANES):
         q, k, v = (qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:])
         return flash_attention_packed(q, k, v, num_heads=num_heads, scale=1.0,
-                                      block_q=block_q, interpret=interpret)
+                                      block_q=block_q, interpret=interpret,
+                                      mxu_denom=mxu_denom)
     block_q = _fit_block_q(block_q, s_pad, qkv.dtype.itemsize)
     q_pad = -(-s_pad // block_q) * block_q
     if q_pad != s_len:
@@ -139,7 +169,8 @@ def flash_attention_qkv_fused(qkv, *, num_heads: int, block_q: int = 4096,
     vcol = 2 * c // _LANES
     grid = (b, hp, q_pad // block_q)
     out = pl.pallas_call(
-        functools.partial(_packed_kernel, s_actual=s_len, dh=dh),
+        functools.partial(_packed_kernel, s_actual=s_len, dh=dh,
+                          mxu_denom=mxu_denom),
         out_shape=jax.ShapeDtypeStruct((b, q_pad, c), qkv.dtype),
         grid=grid,
         in_specs=[
@@ -170,9 +201,11 @@ def flash_attention_qkv_fused(qkv, *, num_heads: int, block_q: int = 4096,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_heads", "scale", "block_q", "interpret"))
+                   static_argnames=("num_heads", "scale", "block_q", "interpret",
+                                    "mxu_denom"))
 def flash_attention_packed(q, k, v, *, num_heads: int, scale: float,
-                           block_q: int = 4096, interpret: bool = False):
+                           block_q: int = 4096, interpret: bool = False,
+                           mxu_denom: bool = True):
     """Attention on [B, S, C] (C = num_heads * dh, heads contiguous).
 
     Zero-layout-change variant of flash_attention: inputs/outputs are the
@@ -187,7 +220,7 @@ def flash_attention_packed(q, k, v, *, num_heads: int, scale: float,
         kh = k.reshape(b, s_len, num_heads, dh).transpose(0, 2, 1, 3)
         vh = v.reshape(b, s_len, num_heads, dh).transpose(0, 2, 1, 3)
         o = flash_attention(qh, kh, vh, scale=scale, block_q=block_q,
-                            interpret=interpret)
+                            interpret=interpret, mxu_denom=mxu_denom)
         return o.transpose(0, 2, 1, 3).reshape(b, s_len, c)
     q = q * jnp.asarray(scale, q.dtype)
     block_q = _fit_block_q(block_q, s_pad, q.dtype.itemsize)
@@ -201,7 +234,8 @@ def flash_attention_packed(q, k, v, *, num_heads: int, scale: float,
     hp = num_heads // 2
     grid = (b, hp, q_pad // block_q)
     out = pl.pallas_call(
-        functools.partial(_packed_kernel, s_actual=s_len, dh=dh),
+        functools.partial(_packed_kernel, s_actual=s_len, dh=dh,
+                          mxu_denom=mxu_denom),
         out_shape=jax.ShapeDtypeStruct((b, q_pad, c), q.dtype),
         grid=grid,
         in_specs=[
@@ -229,15 +263,19 @@ def flash_attention_packed(q, k, v, *, num_heads: int, scale: float,
     return out
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int,
+                 mxu_denom: bool = True):
     """One-pass softmax, minimized VPU sweeps over the [bq, S_pad] scores
     (the kernel is VPU-issue-bound, not MXU-bound): the query is pre-scaled
     outside, the stabilizer max runs over raw scores (zero-padded keys give
     score 0 >= nothing real needs excluding for *stability*), and the pad
-    mask is folded into the single exp sweep."""
+    mask is folded into the single exp sweep. With mxu_denom, the pad mask
+    and denominator sum move into idle MXU lanes of the PV matmul instead
+    (see _packed_kernel)."""
     q = q_ref[0, 0]                  # [bq, D], already scaled
     k = k_ref[0, 0]                  # [S_pad, D]
     v = v_ref[0, 0]                  # [S_pad, D]
+    d = v.shape[1]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )                                 # [bq, S_pad] fp32
@@ -245,6 +283,18 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int):
     # Unnormalized probabilities in the kernel dtype; the 1/denom multiply
     # moves to the [bq, D] PV output (see _packed_kernel.softmax for why).
     e = jnp.exp(s - m).astype(v.dtype)
+    if mxu_denom and 2 * d <= _LANES:
+        # [S, 2d] rhs stays within one 128-lane MXU tile — the widened dot
+        # costs no extra passes and yields the masked denominator at lane d.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (k.shape[0], d), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (k.shape[0], d), 0)
+        mcol = ((lane == 0) & (row < s_actual)).astype(v.dtype)
+        o = jax.lax.dot_general(
+            e, jnp.concatenate([v, mcol], axis=1), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        inv = 1.0 / jnp.maximum(o[:, d:d + 1], 1e-30)
+        o_ref[0, 0] = (o[:, :d] * inv).astype(o_ref.dtype)
+        return
     if s_actual < k.shape[0]:
         key_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         e = jnp.where(key_ids < s_actual, e, 0.0)
@@ -258,9 +308,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int):
     o_ref[0, 0] = (o * inv).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret",
+                                             "mxu_denom"))
 def flash_attention(q, k, v, *, scale: float, block_q: int = 4096,
-                    interpret: bool = False):
+                    interpret: bool = False, mxu_denom: bool = True):
     """Attention on [B, H, S, D]; returns [B, H, S, D]."""
     b, h, s_len, d = q.shape
     s_pad = -(-s_len // _LANES) * _LANES
@@ -279,7 +330,7 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 4096,
 
     grid = (b, h, q_pad // block_q)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, s_actual=s_len),
+        functools.partial(_attn_kernel, s_actual=s_len, mxu_denom=mxu_denom),
         out_shape=jax.ShapeDtypeStruct((b, h, q_pad, d), q.dtype),
         grid=grid,
         in_specs=[

@@ -51,12 +51,18 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, scores, probs, *, num_heads: int,
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.where(same_head, jnp.exp(s - m), 0.0)
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    probs[:] = (e * (1.0 / jnp.maximum(denom, 1e-30))).astype(probs.dtype)
+    # Unnormalized probs: the 1/denom multiply runs on the [th, dh] PV
+    # output instead of the [th, th] probability cube (same epilogue-
+    # denominator form as the spatial kernel) — th/dh x less VPU multiply
+    # work. The cross-head mask CANNOT move out of the probability tile
+    # here (unlike key-pad masking, the masked columns' V rows are real).
+    probs[:] = e.astype(probs.dtype)
+    inv = 1.0 / jnp.maximum(denom, 1e-30)
 
     for p in range(block_p):
-        o_ref[p] = jax.lax.dot_general(
+        o_ref[p] = (jax.lax.dot_general(
             probs[p], v_ref[p], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+            preferred_element_type=jnp.float32) * inv[p]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
