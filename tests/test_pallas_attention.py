@@ -74,6 +74,61 @@ def test_flash_attention_long_sequence_adaptive_block():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("s", [300, 130])
+def test_flash_attention_packed_qk8_matches_oracle(s):
+    """int8-QK kernel vs fp32 attention on the dequantized integers
+    (exact same math the kernel's int32 path must reproduce)."""
+    from video_depth_anything_tpu.ops.pallas_attention import (
+        flash_attention_packed_qk8,
+    )
+
+    rng = np.random.default_rng(7)
+    b, h, d = 2, 4, 64
+    c = h * d
+    q8 = jnp.asarray(rng.integers(-127, 128, (b, s, c)), jnp.int8)
+    k8 = jnp.asarray(rng.integers(-127, 128, (b, s, c)), jnp.int8)
+    v = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    sq_eff = 0.013 * d ** -0.5   # amax_q/127 * attention scale
+    sk = 0.021
+    scales = jnp.asarray([sq_eff, sk], jnp.float32)
+
+    qf = (np.asarray(q8, np.float32) * sq_eff).reshape(b, s, h, d)
+    kf = (np.asarray(k8, np.float32) * sk).reshape(b, s, h, d)
+    vf = np.asarray(v).reshape(b, s, h, d)
+    ref = _xla_mha(jnp.asarray(qf.transpose(0, 2, 1, 3)),
+                   jnp.asarray(kf.transpose(0, 2, 1, 3)),
+                   jnp.asarray(vf.transpose(0, 2, 1, 3)), 1.0)
+    ref = np.asarray(ref).transpose(0, 2, 1, 3).reshape(b, s, c)
+    got = flash_attention_packed_qk8(q8, k8, v, scales, num_heads=h,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_flash_attention_packed_qk8_fallback_geometry():
+    """Odd head count routes through the dequantized packed fallback."""
+    from video_depth_anything_tpu.ops.pallas_attention import (
+        flash_attention_packed_qk8,
+    )
+
+    rng = np.random.default_rng(8)
+    b, s, h, d = 1, 140, 3, 64
+    c = h * d
+    q8 = jnp.asarray(rng.integers(-127, 128, (b, s, c)), jnp.int8)
+    k8 = jnp.asarray(rng.integers(-127, 128, (b, s, c)), jnp.int8)
+    v = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    scales = jnp.asarray([0.01, 0.02], jnp.float32)
+    qf = (np.asarray(q8, np.float32) * 0.01).reshape(b, s, h, d)
+    kf = (np.asarray(k8, np.float32) * 0.02).reshape(b, s, h, d)
+    vf = np.asarray(v).reshape(b, s, h, d)
+    ref = _xla_mha(jnp.asarray(qf.transpose(0, 2, 1, 3)),
+                   jnp.asarray(kf.transpose(0, 2, 1, 3)),
+                   jnp.asarray(vf.transpose(0, 2, 1, 3)), 1.0)
+    ref = np.asarray(ref).transpose(0, 2, 1, 3).reshape(b, s, c)
+    got = flash_attention_packed_qk8(q8, k8, v, scales, num_heads=h,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("mxu_denom", [True, False])
 def test_flash_attention_padding_mask(mxu_denom):
     """Padded key positions must not leak into the softmax (with mxu_denom,

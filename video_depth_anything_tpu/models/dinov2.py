@@ -109,16 +109,38 @@ def _block_step(carry, bp, *, num_heads: int, use_pallas, ffn_layer="mlp",
         q = quant_ops.qlinear(bp["attn"]["q"], yq, qs["qkv"], x.dtype)
         k = quant_ops.qlinear(bp["attn"]["k"], yq, qs["qkv"], x.dtype)
         v = quant_ops.qlinear(bp["attn"]["v"], yq, qs["qkv"], x.dtype)
-        if use_pallas and packed_ok:
-            from ..ops.pallas_attention import flash_attention_packed
-            o = flash_attention_packed(q, k, v, num_heads=num_heads,
-                                       scale=dh ** -0.5)
+        # int8 QK (when the stats tree carries q_out/k_out scales): the
+        # re-quantization fuses into the q/k matmul epilogues under XLA,
+        # and the flash kernel contracts int8->int32 at the doubled int8
+        # MXU rate (measured 1.049x the bf16 kernel at the vitl shape —
+        # the fp32 score tile's softmax sweeps bound the kernel).
+        qk8 = "q_out" in qs
+        if qk8:
+            q8 = quant_ops.quant_act(q, qs["q_out"])
+            k8 = quant_ops.quant_act(k, qs["k_out"])
+        if qk8 and use_pallas and packed_ok:
+            from ..ops.pallas_attention import flash_attention_packed_qk8
+            scales = jnp.stack([qs["q_out"] * (dh ** -0.5 / 127.0),
+                                qs["k_out"] / 127.0])
+            o = flash_attention_packed_qk8(q8, k8, v, scales,
+                                           num_heads=num_heads)
         else:
-            def split(t):
-                return t.reshape(n, s, num_heads, dh).transpose(0, 2, 1, 3)
-            o = attn_ops.mha(split(q), split(k), split(v),
-                             use_pallas=use_pallas)
-            o = o.transpose(0, 2, 1, 3).reshape(n, s, d)
+            if qk8:
+                # Mirror the kernel's quantization on the XLA path so every
+                # backend shares the int8 semantics (and the CPU accuracy
+                # budget test measures the real thing).
+                q = q8.astype(x.dtype) * (qs["q_out"] / 127.0).astype(x.dtype)
+                k = k8.astype(x.dtype) * (qs["k_out"] / 127.0).astype(x.dtype)
+            if use_pallas and packed_ok:
+                from ..ops.pallas_attention import flash_attention_packed
+                o = flash_attention_packed(q, k, v, num_heads=num_heads,
+                                           scale=dh ** -0.5)
+            else:
+                def split(t):
+                    return t.reshape(n, s, num_heads, dh).transpose(0, 2, 1, 3)
+                o = attn_ops.mha(split(q), split(k), split(v),
+                                 use_pallas=use_pallas)
+                o = o.transpose(0, 2, 1, 3).reshape(n, s, d)
     elif use_pallas and packed_ok:
         # Packed kernel consumes the projections' natural [N, S, H*dh]
         # layout — no head-split transposes/copies anywhere. (A fused
@@ -129,6 +151,8 @@ def _block_step(carry, bp, *, num_heads: int, use_pallas, ffn_layer="mlp",
         q = vnn.linear(bp["attn"]["q"], y)
         k = vnn.linear(bp["attn"]["k"], y)
         v = vnn.linear(bp["attn"]["v"], y)
+        if collect_stats:
+            stats["q_out"], stats["k_out"] = _amax(q), _amax(k)
         o = flash_attention_packed(q, k, v, num_heads=num_heads,
                                    scale=dh ** -0.5)
     else:
@@ -139,9 +163,11 @@ def _block_step(carry, bp, *, num_heads: int, use_pallas, ffn_layer="mlp",
                              preferred_element_type=y.dtype)
             return out + p["b"].astype(y.dtype).reshape(num_heads, 1, dh)
 
-        o = attn_ops.mha(head_proj(bp["attn"]["q"]),
-                         head_proj(bp["attn"]["k"]),
-                         head_proj(bp["attn"]["v"]),
+        hq = head_proj(bp["attn"]["q"])
+        hk = head_proj(bp["attn"]["k"])
+        if collect_stats:
+            stats["q_out"], stats["k_out"] = _amax(hq), _amax(hk)
+        o = attn_ops.mha(hq, hk, head_proj(bp["attn"]["v"]),
                          use_pallas=use_pallas)            # [N,H,S,dh]
         o = o.transpose(0, 2, 1, 3).reshape(n, s, d)
     if collect_stats:

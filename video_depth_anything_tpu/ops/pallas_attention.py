@@ -263,6 +263,116 @@ def flash_attention_packed(q, k, v, *, num_heads: int, scale: float,
     return out
 
 
+def _packed_qk8_kernel(q_ref, k_ref, v_ref, sc_ref, o_ref, *, s_actual: int,
+                       dh: int):
+    """int8-QK variant of _packed_kernel (--int8 mode): q/k arrive int8
+    (per-tensor static scales, ops/quant.py), QK contracts int8->int32 at
+    v5e's doubled int8 MXU rate, and the score scale folds into the one
+    exp sweep: e = exp(c * (s_i32 - m_i32)) with c = sq_eff * sk from SMEM
+    — the same sweep count as the bf16 kernel. Measured 1.049x the bf16
+    kernel at the vitl shape (tools/bench_attn_kernel.py --int8): the fp32
+    score tile + softmax sweeps bound the kernel, so doubling the QK MXU
+    rate is a small win. PV and the MXU denominator/pad fold are identical
+    to _packed_kernel."""
+    bq = q_ref.shape[1]
+    half = bq // 2
+    chains = [(i, r) for i in range(2) for r in ((0, half), (half, bq))
+              ] if half % 8 == 0 and half > 0 else [(i, (0, bq)) for i in range(2)]
+    c = sc_ref[0, 0] * sc_ref[0, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (k_ref.shape[1], dh), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (k_ref.shape[1], dh), 0)
+    mcol = ((lane == 0) & (row < s_actual)).astype(v_ref.dtype)
+    rhs = [jnp.concatenate([v_ref[0, :, i * dh:(i + 1) * dh], mcol],
+                           axis=1) for i in range(2)]
+
+    def qk(i, rows):
+        sl = slice(i * dh, (i + 1) * dh)
+        return jax.lax.dot_general(
+            q_ref[0, rows[0]:rows[1], sl], k_ref[0, :, sl],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+
+    def softmax(s):
+        m = jnp.max(s, axis=-1, keepdims=True)
+        return jnp.exp((s - m).astype(jnp.float32) * c).astype(v_ref.dtype)
+
+    def pv(i, rows, p):
+        o = jax.lax.dot_general(
+            p, rhs[i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        inv = 1.0 / jnp.maximum(o[:, dh:dh + 1], 1e-30)
+        o_ref[0, rows[0]:rows[1], i * dh:(i + 1) * dh] = (
+            o[:, :dh] * inv).astype(o_ref.dtype)
+
+    scores = [qk(i, rows) for i, rows in chains]
+    probs = [softmax(s) for s in scores]
+    for (i, rows), p in zip(chains, probs):
+        pv(i, rows, p)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "block_q", "interpret"))
+def flash_attention_packed_qk8(q_i8, k_i8, v, scales, *, num_heads: int,
+                               block_q: int = 4096, interpret: bool = False):
+    """Packed attention with int8 QK (--int8 encoder mode).
+
+    q_i8, k_i8: [B, S, C] int8 (C = num_heads * dh, heads contiguous);
+    v: [B, S, C] float; scales: [2] fp32 = (sq_eff, sk) where
+    sq_eff already folds the attention scale (amax_q/127 * dh**-0.5) and
+    sk = amax_k/127. Scores are (q_i8 @ k_i8^T) * sq_eff * sk. Falls back
+    to dequantized bf16 attention when the packed geometry doesn't apply,
+    so all backends share the quantization semantics.
+    """
+    b, s_len, cdim = q_i8.shape
+    dh = cdim // num_heads
+    s_pad = -(-s_len // _LANES) * _LANES
+    scales = scales.astype(jnp.float32).reshape(2)
+    if s_pad > _MAX_S_PAD or num_heads % 2 or (2 * dh) % _LANES:
+        qf = q_i8.astype(v.dtype) * scales[0].astype(v.dtype)
+        kf = k_i8.astype(v.dtype) * scales[1].astype(v.dtype)
+        return flash_attention_packed(qf, kf, v, num_heads=num_heads,
+                                      scale=1.0, block_q=block_q,
+                                      interpret=interpret)
+    block_q = _fit_block_q(block_q, s_pad, 2)
+    q_pad = -(-s_pad // block_q) * block_q
+
+    def pad(x, n):
+        return jnp.pad(x, [(0, 0), (0, n - s_len), (0, 0)]) \
+            if n != s_len else x
+
+    q_i8, k_i8, v = pad(q_i8, q_pad), pad(k_i8, s_pad), pad(v, s_pad)
+    hp = num_heads // 2
+    grid = (b, hp, q_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(_packed_qk8_kernel, s_actual=s_len, dh=dh),
+        out_shape=jax.ShapeDtypeStruct((b, q_pad, cdim), v.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 2 * dh), lambda bi, hi, qi: (bi, qi, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, 2 * dh), lambda bi, hi, qi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, 2 * dh), lambda bi, hi, qi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda bi, hi, qi: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 2 * dh),
+                               lambda bi, hi, qi: (bi, qi, hi),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * q_pad * s_pad * dh,
+            bytes_accessed=b * q_pad * cdim * (2 + 2 * 1 + 2),
+            transcendentals=b * num_heads * q_pad * s_pad,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(q_i8, k_i8, v, scales.reshape(1, 2))
+    if q_pad != s_len:
+        out = out[:, :s_len]
+    return out
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int,
                  mxu_denom: bool = True):
     """One-pass softmax, minimized VPU sweeps over the [bq, S_pad] scores

@@ -25,7 +25,9 @@ import jax.numpy as jnp
 
 # Activation-quantization sites per block, in forward order. "qkv" is one
 # shared site: q, k and v consume the same LN1 output, quantized once.
-ACT_SITES = ("qkv", "proj", "fc1", "fc2")
+# "q_out"/"k_out" are the q/k projection *outputs*, quantized so the flash
+# kernel's QK matmul runs int8 on the MXU (flash_attention_packed_qk8).
+ACT_SITES = ("qkv", "proj", "fc1", "fc2", "q_out", "k_out")
 
 
 def quantize_weight(w):
@@ -146,6 +148,8 @@ def quantize_encoder(pretrained, act_stats, depth: int):
                    for k, v in blocks["mlp"].items()}
     qs = {}
     for k in ACT_SITES:
+        if k not in act_stats:
+            continue  # stats from an older calibration tree
         v = jnp.asarray(act_stats[k], jnp.float32)
         if v.shape[0] < depth:
             v = jnp.concatenate([v, jnp.ones((depth - v.shape[0],), jnp.float32)])
