@@ -96,11 +96,31 @@ def main():
     t_no_scratch = run("- scratch_rn")
     dpt.scratch_rn = real_scratch
 
+    # Resize-interp arithmetic cost: replace every dpt-side bilinear resize
+    # (fusion-block 2x upsamples + the head's 296->518) with a nearest-ish
+    # repeat+slice that moves the same output bytes, so the delta is the
+    # interpolation math (dense-matmul cost) alone, not the HBM writes.
+    real_resize = dpt.resize_bilinear_align_corners
+
+    def stub_resize(x, out_hw, **kw):
+        h, w = x.shape[-3], x.shape[-2]
+        ho, wo = out_hw
+        if (h, w) == (ho, wo):
+            return x
+        rh, rw = -(-ho // h), -(-wo // w)
+        y = jnp.repeat(jnp.repeat(x, rh, axis=-3), rw, axis=-2)
+        return y[..., :ho, :wo, :]
+
+    dpt.resize_bilinear_align_corners = stub_resize
+    t_no_resize = run("- dpt resizes")
+    dpt.resize_bilinear_align_corners = real_resize
+
     print("deltas (stage cost):", flush=True)
     print(f"  temporal modules : {t_full - t_no_tm:8.2f}")
     print(f"  refinenet RCUs   : {t_full - t_no_rcu:8.2f}")
     print(f"  output head      : {t_full - t_no_out:8.2f}")
     print(f"  scratch_rn       : {t_full - t_no_scratch:8.2f}")
+    print(f"  dpt resize interp: {t_full - t_no_resize:8.2f}")
     print(f"  per frame (full) : {t_full / T:8.3f} ms")
 
 

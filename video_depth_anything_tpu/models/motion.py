@@ -141,18 +141,23 @@ def _geglu_ff(p, x, collect_stats: bool = False, stats: dict = None):
 def _transformer_block(p, x, b: int, t: int, num_heads: int, pe: str,
                        num_attention_blocks: int = 2,
                        collect_stats: bool = False, stats: dict = None):
-    """TemporalTransformerBlock (motion_module.py:129-177) on [B*T, HW, C]."""
-    bt, hw, c = x.shape
+    """TemporalTransformerBlock (motion_module.py:129-177) on [B*HW, T, C].
+
+    The reference keeps tokens in (b f) d c layout and rearranges to
+    (b d) f c around every attention call (motion_module.py:232). Every op
+    between the module's proj_in and proj_out — LayerNorm, the GEGLU FF,
+    the residual adds — is per-token, so this block instead runs entirely
+    in the attention-native [B*HW, T, C] layout (the caller transposes once
+    on entry and once on exit): per-row math is unchanged bit for bit, and
+    2 of the 4 full-tensor HBM transpose passes per attention block vanish.
+    """
     for i in range(num_attention_blocks):
         y = vnn.layer_norm(p["norms"][str(i)], x, eps=1e-5)
-        # (b f) d c -> (b d) f c  (motion_module.py:232)
-        y = y.reshape(b, t, hw, c).transpose(0, 2, 1, 3).reshape(b * hw, t, c)
         ast = {} if collect_stats else None
         y = _temporal_attention(p["attention_blocks"][str(i)], y, num_heads,
                                 pe, collect_stats=collect_stats, stats=ast)
         if collect_stats:
             stats.setdefault("attn", {})[str(i)] = ast
-        y = y.reshape(b, hw, t, c).transpose(0, 2, 1, 3).reshape(bt, hw, c)
         x = x + y
     x = x + _geglu_ff(p["ff"], vnn.layer_norm(p["ff_norm"], x, eps=1e-5),
                       collect_stats=collect_stats, stats=stats)
@@ -180,6 +185,11 @@ def temporal_module(p, x, b: int, t: int, num_heads: int = 8, pe: str = "ape",
         stats["proj_in"] = _amax(y)
     y = quant_ops.linear_maybe_q(tt["proj_in"], y,
                                  qs["proj_in"] if qs else None)
+    # One layout change for the whole transformer stack: (b f) d c ->
+    # (b d) f c (motion_module.py:232). The blocks stay in attention-native
+    # [B*HW, T, C]; everything between here and proj_out is per-token.
+    hw = h * w
+    y = y.reshape(b, t, hw, c).transpose(0, 2, 1, 3).reshape(b * hw, t, c)
     for i in range(num_transformer_block):
         bst = {} if collect_stats else None
         y = _transformer_block(tt["transformer_blocks"][str(i)], y, b, t,
@@ -187,6 +197,7 @@ def temporal_module(p, x, b: int, t: int, num_heads: int = 8, pe: str = "ape",
                                collect_stats=collect_stats, stats=bst)
         if collect_stats:
             stats.setdefault("blocks", {})[str(i)] = bst
+    y = y.reshape(b, hw, t, c).transpose(0, 2, 1, 3).reshape(b * t, hw, c)
     if collect_stats:
         stats["proj_out"] = _amax(y)
     y = quant_ops.linear_maybe_q(tt["proj_out"], y,
