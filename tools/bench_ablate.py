@@ -23,7 +23,9 @@ from video_depth_anything_tpu import config as vcfg
 from video_depth_anything_tpu.models import dpt, video_depth
 from video_depth_anything_tpu.ops import nn as vnn
 
-ENC = sys.argv[1] if len(sys.argv) > 1 else "vitl"
+ENC = next((a for a in sys.argv[1:] if not a.startswith("-")), "vitl")
+HEAD_MODE = "--head" in sys.argv  # sub-stage ablation of output_head only
+TM_MODE = "--temporal" in sys.argv  # sub-stage ablation of temporal modules
 T = 32
 SIZE = 518
 CHAIN = 3
@@ -70,6 +72,123 @@ def main():
     print(f"{ENC} {SIZE}^2 x{T} ablation (ms/window, chain={CHAIN}):",
           flush=True)
     t_full = run("full forward")
+
+    if TM_MODE:
+        # Sub-stage ablation of the temporal modules: stub one sub-op
+        # across all 4 modules, read its cost as the delta. Stubs keep a
+        # 1e-12-scaled data dependency so XLA can't fold them away.
+        from video_depth_anything_tpu.models import motion
+        from video_depth_anything_tpu.ops import (
+            pallas_temporal_attention as pta)
+
+        deltas = {}
+        real_attn = motion._temporal_attention
+        motion._temporal_attention = \
+            lambda p, x, *a, **kw: x * jnp.asarray(1e-12, x.dtype)
+        deltas["attention (all)"] = t_full - run("- tm attention")
+        motion._temporal_attention = real_attn
+
+        real_kernel = pta.temporal_flash_attention
+        pta.temporal_flash_attention = \
+            lambda q, k, v, **kw: v + (q + k) * jnp.asarray(1e-12, q.dtype)
+        deltas["attn kernel only"] = t_full - run("- tm attn kernel")
+        pta.temporal_flash_attention = real_kernel
+
+        def xla_flat_attention(q, k, v, *, num_heads, scale,
+                               interpret=False):
+            # Same masked (frame*head)-flattened softmax as the kernel,
+            # in plain XLA — measures the custom-call bracketing overhead.
+            p, t, c = q.shape
+            dh = c // num_heads
+            th = t * num_heads
+            qf = (q * jnp.asarray(scale, q.dtype)).reshape(p, th, dh)
+            kf = k.reshape(p, th, dh)
+            vf = v.reshape(p, th, dh)
+            s = jnp.einsum("pid,pjd->pij", qf, kf,
+                           preferred_element_type=jnp.float32)
+            ids = jax.lax.broadcasted_iota(jnp.int32, (th, th), 0) % num_heads
+            jds = jax.lax.broadcasted_iota(jnp.int32, (th, th), 1) % num_heads
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.where((ids == jds)[None], jnp.exp(s - m), 0.0)
+            inv = 1.0 / jnp.maximum(jnp.sum(e, -1, keepdims=True), 1e-30)
+            o = jnp.einsum("pij,pjd->pid", e.astype(v.dtype), vf,
+                           preferred_element_type=jnp.float32)
+            return (o * inv).astype(q.dtype).reshape(p, t, c)
+
+        pta.temporal_flash_attention = xla_flat_attention
+        deltas["kernel -> xla-flat"] = t_full - run("- tm kernel=xla")
+        pta.temporal_flash_attention = real_kernel
+
+        real_ff = motion._geglu_ff
+        motion._geglu_ff = \
+            lambda p, x, **kw: x * jnp.asarray(1e-12, x.dtype)
+        deltas["geglu ff"] = t_full - run("- tm ff")
+        motion._geglu_ff = real_ff
+
+        real_gn = vnn.group_norm
+        vnn.group_norm = lambda p, x, **kw: x * jnp.asarray(1e-12, x.dtype)
+        deltas["group_norm"] = t_full - run("- tm group_norm")
+        vnn.group_norm = real_gn
+
+        print("temporal sub-stage deltas (ms/window):", flush=True)
+        for k, v in deltas.items():
+            print(f"  {k:<18s}: {v:8.2f}")
+        return
+
+    if HEAD_MODE:
+        # Sub-stage ablation of output_head (models/dpt.py:86-126): each
+        # variant stubs ONE sub-op with a shape-preserving slice/copy that
+        # keeps the data dependency. Deltas = that sub-op's cost.
+        from video_depth_anything_tpu.ops.resize import (
+            resize_bilinear_align_corners as real_rs)
+
+        def head_variant(skip):
+            def f(p, path_1, out_hw, fp32_island=True, mixed_island=True):
+                w1 = p["scratch"]["output_conv1"]
+                if skip == "conv1":
+                    out = path_1[..., :w1["w"].shape[-1]]
+                else:
+                    out = vnn.conv2d(w1, path_1, stride=1, padding=1)
+                if skip == "resize":
+                    h, w_ = out.shape[-3], out.shape[-2]
+                    rh, rw = -(-out_hw[0] // h), -(-out_hw[1] // w_)
+                    out = jnp.repeat(jnp.repeat(out, rh, -3), rw, -2)
+                    out = out[..., :out_hw[0], :out_hw[1], :]
+                else:
+                    out = real_rs(out, out_hw)
+                w2 = p["scratch"]["output_conv2"]["0"]
+                if skip == "conv2a":
+                    out = jnp.maximum(out[..., :w2["w"].shape[-1]], 0)
+                else:
+                    out = jax.lax.conv_general_dilated(
+                        out, w2["w"].astype(out.dtype), (1, 1),
+                        ((1, 1), (1, 1)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=jnp.float32)
+                    out = jnp.maximum(out + w2["b"].astype(jnp.float32),
+                                      0).astype(jnp.bfloat16)
+                w3 = p["scratch"]["output_conv2"]["2"]
+                if skip == "conv2b":
+                    out = out[..., :1].astype(jnp.float32)
+                else:
+                    out = jax.lax.conv_general_dilated(
+                        out, w3["w"].astype(out.dtype), (1, 1),
+                        ((0, 0), (0, 0)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=jnp.float32)
+                    out = out + w3["b"].astype(jnp.float32)
+                return jnp.maximum(out, 0)
+            return f
+
+        deltas = {}
+        for skip in ("conv1", "resize", "conv2a", "conv2b"):
+            dpt.output_head = head_variant(skip)
+            deltas[skip] = t_full - run(f"- head {skip}")
+        dpt.output_head = real_out
+        print("head sub-stage deltas (ms/window):", flush=True)
+        for k, v in deltas.items():
+            print(f"  {k:<8s}: {v:8.2f}")
+        return
 
     video_depth.temporal_module = lambda p, y, b, t, **kw: y
     t_no_tm = run("- temporal modules")

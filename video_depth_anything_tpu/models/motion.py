@@ -90,25 +90,28 @@ def _temporal_attention(p, x, num_heads: int, pe: str,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas and dh >= 64:
-        # (frame,head)-flattened kernel: 8x-inflated softmax buys full-width
-        # MXU matmuls — a clear win at dh>=64 (C=1024 modules).
-        from ..ops.pallas_temporal_attention import temporal_flash_attention
-        o = temporal_flash_attention(q, k, v, num_heads=num_heads,
-                                     scale=scale)
+        # (frame,head)-flattened attention: 8x-inflated softmax buys
+        # full-width MXU matmuls — a clear win at dh>=64 (C=1024 modules).
+        # XLA einsum form: the equivalent Pallas kernel
+        # (ops/pallas_temporal_attention.py) measured ~1.5 ms/call SLOWER
+        # in-model from custom-call fusion barriers (bench_ablate --temporal).
+        from ..ops.attention import temporal_flat_attention
+        o = temporal_flat_attention(q, k, v, num_heads=num_heads,
+                                    scale=scale)
     elif (use_pallas and dh < 64 and 128 % dh == 0
           and num_heads % (128 // dh) == 0):
         # Small-head regime (dh=32, C=256 modules): flattening all heads
         # makes the softmax VPU-bound, so flatten only groups of g heads
         # such that g*dh = 128 — each group is a contiguous channel slice,
-        # and groups batch into the kernel's pixel axis.
-        from ..ops.pallas_temporal_attention import temporal_flash_attention
+        # and groups batch into the pixel axis.
+        from ..ops.attention import temporal_flat_attention
         g = 128 // dh
         ng = num_heads // g
         def to_groups(x):
             return (x.reshape(bd, t, ng, g * dh).transpose(0, 2, 1, 3)
                     .reshape(bd * ng, t, g * dh))
-        o = temporal_flash_attention(to_groups(q), to_groups(k), to_groups(v),
-                                     num_heads=g, scale=scale)
+        o = temporal_flat_attention(to_groups(q), to_groups(k), to_groups(v),
+                                    num_heads=g, scale=scale)
         o = (o.reshape(bd, ng, t, g * dh).transpose(0, 2, 1, 3)
              .reshape(bd, t, c))
     else:
@@ -123,14 +126,37 @@ def _temporal_attention(p, x, num_heads: int, pe: str,
     return vnn.linear(p["to_out"]["0"], o)
 
 
+def _col_slice(p, lo, hi):
+    """Output-column slice of a (possibly int8-quantized) linear site.
+
+    Weight quantization is per-out-channel (ops/quant.py:33-42), so slicing
+    w/w_i8/ws/b along N is exact for both the float and int8 paths.
+    """
+    return {k: (v[..., lo:hi] if k in ("w", "w_i8", "ws", "b") else v)
+            for k, v in p.items()}
+
+
 def _geglu_ff(p, x, collect_stats: bool = False, stats: dict = None):
-    """FeedForward GEGLU (attention.py:296-400): x*gelu(gate) -> linear."""
+    """FeedForward GEGLU (attention.py:296-400): x*gelu(gate) -> linear.
+
+    The reference computes one [*, 8C] projection then chunks it in two
+    (attention.py:355-360). Here the projection runs as two [*, 4C]
+    column-slice matmuls over the same weights — identical per-element dot
+    products — so XLA fuses `val * gelu(gate)` into the dots' epilogue
+    instead of materializing the 8C intermediate (the largest activation in
+    the temporal stack, ~0.7 GB/window for the C=1024 modules at 518^2).
+    """
     qs = p.get("qs")
     if collect_stats:
         stats["ff_proj"] = _amax(x)
-    h = quant_ops.linear_maybe_q(p["net"]["0"]["proj"], x,
-                                 qs["ff_proj"] if qs else None)
-    val, gate = jnp.split(h, 2, axis=-1)
+    proj = p["net"]["0"]["proj"]
+    n8 = (proj["w"] if "w" in proj else proj["w_i8"]).shape[-1]
+    amax = qs["ff_proj"] if qs else None
+    x_i8 = quant_ops.quant_act(x, amax) if qs else None
+    val = quant_ops.linear_maybe_q(_col_slice(proj, 0, n8 // 2), x,
+                                   amax, x_i8=x_i8)
+    gate = quant_ops.linear_maybe_q(_col_slice(proj, n8 // 2, n8), x,
+                                    amax, x_i8=x_i8)
     h = val * vnn.gelu(gate)
     if collect_stats:
         stats["ff_g"] = _amax(h)

@@ -51,3 +51,41 @@ def temporal_mha(q, k, v, scale: float | None = None):
     if scale is None:
         scale = q.shape[-1] ** -0.5
     return _xla_mha(q, k, v, scale)
+
+
+def temporal_flat_attention(q, k, v, *, num_heads: int, scale: float):
+    """(frame*head)-flattened temporal attention on [P, T, C] — TPU path.
+
+    Per-pixel [T, T]-per-head matmuls are hopeless on a 128x128 MXU, so
+    frames and heads flatten into one axis of T*H (256 for T=32, dh=128)
+    and a single [T*H, T*H] masked score matrix per pixel runs as one
+    full-width batched matmul; cross-head pairs are masked out of the
+    softmax, so the PV contraction eliminates them exactly (same trick as
+    ops/pallas_temporal_attention.py, whose kernel form measured SLOWER
+    in-model: the pallas custom call is a fusion barrier and XLA brackets
+    it with layout copies, ~1.5 ms per call at vitl shapes, while this
+    einsum form fuses into the surrounding projections; tools/
+    bench_ablate.py --temporal measured the swap at -10.7 ms/window).
+    The softmax stabilizer max runs over the full row INCLUDING cross-head
+    pairs — any finite row max is a valid stabilizer — and normalization
+    happens on the [*, dh] PV output (epilogue-denominator form), not the
+    [*, T*H] probability tile.
+    """
+    p, t, c = q.shape
+    dh = c // num_heads
+    th = t * num_heads
+    qf = (q * jnp.asarray(scale, q.dtype)).reshape(p, th, dh)
+    kf = k.reshape(p, th, dh)
+    vf = v.reshape(p, th, dh)
+    s = jnp.einsum("pid,pjd->pij", qf, kf,
+                   preferred_element_type=jnp.float32)
+    # Flat index = t*num_heads + h (the C axis is [head-major | dh], so the
+    # reshape enumerates heads fastest): head id = idx % num_heads.
+    ids = jax.lax.broadcasted_iota(jnp.int32, (th, th), 0) % num_heads
+    jds = jax.lax.broadcasted_iota(jnp.int32, (th, th), 1) % num_heads
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.where((ids == jds)[None], jnp.exp(s - m), 0.0)
+    inv = 1.0 / jnp.maximum(jnp.sum(e, -1, keepdims=True), 1e-30)
+    o = jnp.einsum("pij,pjd->pid", e.astype(v.dtype), vf,
+                   preferred_element_type=jnp.float32)
+    return (o * inv).astype(q.dtype).reshape(p, t, c)
