@@ -83,6 +83,71 @@ def scratch_rn(p, feats):
     ]
 
 
+# Opt-in: route even-sized mixed-island tails through the space-to-depth
+# conv form below (measured slower end to end on v5e; see output_head).
+USE_S2D_TAIL = False
+
+# Tap maps for the space-to-depth form of a 3x3 stride-1 pad-1 conv.
+# Output phase p (row parity) at conv output index m (window = cells
+# m-1, m, zero-padded) serves pixel row 2m-p... tap (wi, ph) supplies
+# row offset di = 2*wi + ph - 2 + p; the maps keep taps with di in
+# {-1, 0, 1} and give the original kernel row index di + 1.
+_S2D_TAPS = {0: {(0, 1): 0, (1, 0): 1, (1, 1): 2},
+             1: {(0, 0): 0, (0, 1): 1, (1, 0): 2}}
+
+
+def _s2d_kernel(k):
+    """[3,3,C,Co] conv kernel -> [2,2,4C,4Co] operating on 2x2
+    space-to-depth cells (input channels (pH,pW,C), output (p,q,Co))."""
+    _, _, c, co = k.shape
+    k2 = jnp.zeros((2, 2, 2, 2, c, 2, 2, co), k.dtype)
+    for p in (0, 1):
+        for (wi, ph), di in _S2D_TAPS[p].items():
+            for q in (0, 1):
+                for (wj, pw), dj in _S2D_TAPS[q].items():
+                    k2 = k2.at[wi, wj, ph, pw, :, p, q, :].set(k[di, dj])
+    return k2.reshape(2, 2, 4 * c, 4 * co)
+
+
+def _tail_s2d(w2, w3, u):
+    """The head tail — 3x3 conv (C->32) + bias + ReLU + 1x1 conv (32->1) +
+    bias + ReLU — on even-sized u [N,H,W,C], computed in 2x2 space-to-depth
+    form. Exact restructure of the pixel-space computation:
+
+    A 3x3 conv to 32 output channels uses 32 of the MXU's 128 lanes
+    (~62 TF/s measured at 518^2). Folding each 2x2 pixel block into
+    channels turns it into a 2x2 conv over H/2 x W/2 cells with 4C inputs
+    and 4*32=128 outputs — full-lane MXU (the 2x2x4C kernel holds the
+    original 9 taps scattered by phase parity; the structural zeros
+    contribute exact-zero partial sums). The window covering cells
+    (s, s+1) with padding (1,1) serves output phase 0 at cell s+1 and
+    phase 1 at cell s, so the two phase planes read the conv output at a
+    one-cell offset, and the tail's ReLU/1x1-reduction runs in phase
+    space on the quarter-size grid before depth-to-space.
+    """
+    n, h, wd, c = u.shape
+    a, b = h // 2, wd // 2
+    z = (u.reshape(n, a, 2, b, 2, c).transpose(0, 1, 3, 2, 4, 5)
+         .reshape(n, a, b, 4 * c))
+    k2 = _s2d_kernel(w2["w"]).astype(z.dtype)
+    out = jax.lax.conv_general_dilated(
+        z, k2, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)  # [n, a+1, b+1, (p,q,32)]
+    co = w2["w"].shape[-1]
+    out = jnp.maximum(out + jnp.tile(w2["b"].astype(jnp.float32), 4), 0)
+    out = out.astype(jnp.bfloat16)
+    w3v = jnp.tile(w3["w"].astype(jnp.float32).reshape(-1), 4)
+    out = jnp.sum((out.astype(jnp.float32) * w3v)
+                  .reshape(n, a + 1, b + 1, 4, co), axis=-1)
+    out = jnp.maximum(out + w3["b"].astype(jnp.float32), 0)
+    # depth-to-space: phase p reads cells [p : a+p] (ditto q).
+    yy = jnp.stack(
+        [jnp.stack([out[:, p:a + p, q:b + q, 2 * p + q] for q in (0, 1)],
+                   axis=-1) for p in (0, 1)], axis=-2)  # [n, a, b, p, q]
+    return yy.transpose(0, 1, 3, 2, 4).reshape(n, h, wd)[..., None]
+
+
 def output_head(p, path_1, out_hw, fp32_island: bool = True,
                 mixed_island: bool = True):
     """output_conv1 -> 14x bilinear upsample -> output_conv2 fp32 island
@@ -107,17 +172,23 @@ def output_head(p, path_1, out_hw, fp32_island: bool = True,
         return jnp.maximum(out, 0)  # [N, H14, W14, 1] fp32
     # Mixed island: both output convs accumulate in fp32 on the MXU (bf16
     # shares fp32's exponent range, the property the reference's fp16
-    # island protects), but the [N, H14, W14, 32] intermediate — the
-    # largest tensor in the model, ~2.2 GB/window at 518^2 — stores bf16,
+    # island protects), but the full-resolution intermediates store bf16,
     # halving the tail's HBM traffic. Budgeted end to end by
     # tests/test_precision_budget.py.
     w = p["scratch"]["output_conv2"]["0"]
+    w2 = p["scratch"]["output_conv2"]["2"]
+    if USE_S2D_TAIL and out.shape[-3] % 2 == 0 and out.shape[-2] % 2 == 0:
+        # 2x2 space-to-depth tail — measured NEGATIVE on v5e at 518^2
+        # (12.19 vs 11.66 ms/frame vitl): the full-lane 2x2 conv does win,
+        # but the s2d transpose + phase-slice/stack HBM passes around it
+        # cost more than the 32-lane conv wastes. Kept opt-in, tested
+        # (tests/test_output_head.py), off by default.
+        return _tail_s2d(w, w2, out)
     out = jax.lax.conv_general_dilated(
         out, w["w"].astype(out.dtype), (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)
     out = jnp.maximum(out + w["b"].astype(jnp.float32), 0).astype(jnp.bfloat16)
-    w2 = p["scratch"]["output_conv2"]["2"]
     # The final 1x1 conv has ONE output channel — as a matmul it uses 1 of
     # the MXU's 128 lanes (~3 TF/s measured, ~5 ms/window at 518^2). A
     # broadcast-multiply + lane reduction does the same contraction on the
