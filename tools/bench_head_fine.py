@@ -30,27 +30,32 @@ ITERS = 5
 
 
 def timed(g, *args):
-    jax.tree.map(lambda a: a.block_until_ready(), g(*args))
+    # Scalar readout (float(...)): block_until_ready returns early for large
+    # outputs on the tunneled backend, so each chain returns a scalar.
+    float(g(*args))
     best = float("inf")
     for _ in range(ITERS):
         t0 = time.perf_counter()
-        r = g(*args)
-        jax.tree.map(lambda a: a.block_until_ready(), r)
+        float(g(*args))
         best = min(best, (time.perf_counter() - t0) / CHAIN)
     return best * 1e3
 
 
 def chain_fn(f):
-    """jit f repeated CHAIN times with a data dependency between runs."""
+    """jit f repeated CHAIN times with a data dependency between runs,
+    returning a scalar readout. Head params reach f via the caller's
+    closure over a jit *argument* (see main), never as inlined constants —
+    vitl-sized constants overflow the tunnel's remote-compile request."""
     @jax.jit
     def g(*args):
-        out = None
+        acc = jnp.float32(0.0)
         x0 = args[0]
         for _ in range(CHAIN):
             out = f(x0, *args[1:])
             leaf = out[0] if isinstance(out, (tuple, list)) else out
-            x0 = x0 + jnp.ravel(leaf)[0].astype(x0.dtype) * 0
-        return out
+            acc = acc + jnp.sum(jnp.ravel(leaf)[:8].astype(jnp.float32))
+            x0 = x0 + (acc * 1e-12).astype(x0.dtype)
+        return acc
     return g
 
 

@@ -2,7 +2,10 @@
 
 Times jitted sub-graphs (encoder taps / head / temporal modules / full
 forward) with an in-graph chain to amortize the ~26 ms tunnel dispatch,
-giving the ms-per-window budget per stage. Run: python tools/bench_segments.py [vits|vitl]
+giving the ms-per-window budget per stage. Params are passed as jit
+arguments (NOT closed over): inlining 381M vitl params as constants blows
+the tunnel's remote-compile request size limit (HTTP 413).
+Run: python tools/bench_segments.py [vits|vitl]
 """
 import os
 import sys
@@ -25,12 +28,13 @@ CHAIN = 3
 
 
 def timed(g, *args, iters=5):
-    jax.tree.map(lambda a: a.block_until_ready(), g(*args))
+    # Scalar readout: block_until_ready returns early for large outputs on
+    # the tunneled backend; each benched fn returns an in-graph scalar sum.
+    float(g(*args))
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        r = g(*args)
-        jax.tree.map(lambda a: a.block_until_ready(), r)
+        float(g(*args))
         best = min(best, (time.perf_counter() - t0) / CHAIN)
     return best
 
@@ -45,41 +49,44 @@ def main():
     ph = pw = SIZE // 14
     flat_shape = (T, SIZE, SIZE, 3)
 
-    @jax.jit
-    def enc(x):
-        flat = x.reshape(*flat_shape)
-        out = None
-        for _ in range(CHAIN):
-            feats = dinov2.get_intermediate_layers(
-                params["pretrained"], flat, cfg.vit,
-                cfg.intermediate_layer_idx)
-            out = feats
-            flat = flat + out[0][0][0, 0, 0].astype(flat.dtype) * 0
-        return out
+    def enc_feats(p, flat):
+        return dinov2.get_intermediate_layers(
+            p["pretrained"], flat, cfg.vit, cfg.intermediate_layer_idx)
 
-    feats0 = jax.jit(lambda x: enc(x))(x)
+    @jax.jit
+    def enc(p, x):
+        flat = x.reshape(*flat_shape)
+        acc = jnp.float32(0.0)
+        for _ in range(CHAIN):
+            feats = enc_feats(p, flat)
+            acc = acc + jnp.sum(feats[-1][0][0, 0].astype(jnp.float32))
+            flat = flat + (acc * 1e-12).astype(flat.dtype)
+        return acc
+
+    feats0 = jax.jit(enc_feats)(params, x.reshape(*flat_shape))
     feats0 = jax.tree.map(lambda a: a, feats0)
 
     @jax.jit
-    def head(feats):
-        out = None
+    def head(p, feats):
+        acc = jnp.float32(0.0)
         for _ in range(CHAIN):
-            out = _head_forward(params["head"], feats, ph, pw, 1, T, cfg)
-            feats = [(f + out[0, 0, 0].astype(f.dtype) * 0, c)
-                     for f, c in feats]
-        return out
+            out = _head_forward(p["head"], feats, ph, pw, 1, T, cfg)
+            acc = acc + jnp.sum(out[0, 0, 0])
+            feats = [(f + (acc * 1e-12).astype(f.dtype), c) for f, c in feats]
+        return acc
 
     @jax.jit
-    def full(x):
-        out = None
+    def full(p, x):
+        acc = jnp.float32(0.0)
         for _ in range(CHAIN):
-            out = video_depth.forward(params, x, cfg)
-            x = x + out[0, 0, 0, 0].astype(x.dtype) * 0
-        return out
+            out = video_depth.forward(p, x, cfg)
+            acc = acc + jnp.sum(out[0, 0, 0])
+            x = x + (acc * 1e-12).astype(x.dtype)
+        return acc
 
-    t_enc = timed(enc, x)
-    t_head = timed(head, feats0)
-    t_full = timed(full, x)
+    t_enc = timed(enc, params, x)
+    t_head = timed(head, params, feats0)
+    t_full = timed(full, params, x)
     print(f"{ENC} {SIZE}^2 x{T} (ms/window, chain={CHAIN}):", flush=True)
     print(f"  encoder taps : {t_enc*1e3:8.2f}")
     print(f"  head (DPT+T) : {t_head*1e3:8.2f}")

@@ -24,8 +24,8 @@ def metric_val(pred_disp: np.ndarray, gt_depth: np.ndarray,
     pred = np.clip(pred_disp, 1e-3, None)
     a = np.concatenate([pred[valid].reshape(-1, 1).astype(np.float64),
                         np.ones((int(valid.sum()), 1))], axis=1)
-    x = np.linalg.lstsq(a, gt_disp, rcond=None)[0]
-    aligned = np.clip(float(x[0]) * pred + float(x[1]), 1e-3, None)
+    scale, shift = np.linalg.lstsq(a, gt_disp, rcond=None)[0].ravel()
+    aligned = np.clip(float(scale) * pred + float(shift), 1e-3, None)
     depth = 1.0 / aligned  # no max clamp (train.py:76-80)
 
     frame_ok = valid.sum((-1, -2)) > 0

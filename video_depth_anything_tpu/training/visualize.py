@@ -11,11 +11,11 @@ from ..config import IMAGENET_MEAN, IMAGENET_STD
 
 
 def _colorize(d: np.ndarray) -> np.ndarray:
-    import matplotlib.cm as cm
+    import matplotlib
 
     lo, hi = float(d.min()), float(d.max())
     norm = ((d - lo) / (hi - lo + 1e-8) * 255).astype(np.uint8)
-    lut = (np.asarray(cm.get_cmap("inferno").colors) * 255).astype(np.uint8)
+    lut = (np.asarray(matplotlib.colormaps["inferno"].colors) * 255).astype(np.uint8)
     return lut[norm]
 
 
