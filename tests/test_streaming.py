@@ -75,3 +75,32 @@ def test_stream_video_frames_roundtrip(tmp_path):
     streamed = np.stack(list(it))
     assert fps_a == fps_b and hw == (32, 48)
     np.testing.assert_array_equal(streamed, batch)
+
+
+def test_stream_video_frames_abandoned_releases_decoder(tmp_path):
+    """Closing the frame generator early must unblock and end the decoder
+    thread (it would otherwise sit in q.put forever with the capture open)."""
+    import threading
+    import time
+
+    cv2 = pytest.importorskip("cv2")
+    from video_depth_anything_tpu.utils.video_io import (save_video,
+                                                         stream_video_frames)
+
+    frames = synthetic_video(n=40, hw=(32, 48))
+    path = str(tmp_path / "v.mp4")
+    save_video(frames, path, fps=10)
+
+    before = {t.ident for t in threading.enumerate()}
+    it, fps, hw = stream_video_frames(path, prefetch=2)
+    next(it)  # start the generator so its finally-cleanup is armed
+    it.close()
+
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        extra = [t for t in threading.enumerate()
+                 if t.ident not in before and t.is_alive()]
+        if not extra:
+            break
+        time.sleep(0.05)
+    assert not extra, f"decoder thread leaked: {extra}"

@@ -50,6 +50,19 @@ def test_train_driver_end_to_end(tmp_path):
              open(os.path.join(out, "metrics.jsonl")).read().splitlines()]
     assert len(recs2) > len(recs)
 
+    # latest_checkpoint's extra must reflect its epoch's POST-val state:
+    # best_val_loss = min val_loss up to that epoch, trial = epochs since
+    # the best. (A pre-update save restores a stale best_val on resume,
+    # which lets a later, worse epoch overwrite best_checkpoint.)
+    from video_depth_anything_tpu.training import checkpoint as _ckpt
+    extra = _ckpt.load_checkpoint(out, "latest_checkpoint")["extra"]
+    vals = {int(r["epoch"]): r["val_loss"] for r in recs2 if "val_loss" in r}
+    upto = {e: v for e, v in vals.items() if e <= int(extra["epoch"])}
+    best = min(upto.values())
+    assert float(extra["best_val_loss"]) == pytest.approx(best)
+    best_epoch = min(e for e, v in upto.items() if v == best)
+    assert int(extra["trial"]) == int(extra["epoch"]) - best_epoch
+
     # export the trained checkpoint to inference .npz and run the pipeline
     from video_depth_anything_tpu.models.video_depth import init_params
     from video_depth_anything_tpu.training import checkpoint as ckpt

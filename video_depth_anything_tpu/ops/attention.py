@@ -66,10 +66,13 @@ def temporal_flat_attention(q, k, v, *, num_heads: int, scale: float):
     it with layout copies, ~1.5 ms per call at vitl shapes, while this
     einsum form fuses into the surrounding projections; tools/
     bench_ablate.py --temporal measured the swap at -10.7 ms/window).
-    The softmax stabilizer max runs over the full row INCLUDING cross-head
-    pairs — any finite row max is a valid stabilizer — and normalization
-    happens on the [*, dh] PV output (epilogue-denominator form), not the
-    [*, T*H] probability tile.
+    Cross-head pairs are masked to -inf BEFORE the stabilizer max (the
+    diagonal is same-head, so the row max stays finite): an unmasked
+    cross-head logit ~88 above the same-head max would underflow every
+    real probability to fp32 zero. Masking s costs the same single
+    `where` sweep as masking e would. Normalization happens on the
+    [*, dh] PV output (epilogue-denominator form), not the [*, T*H]
+    probability tile.
     """
     p, t, c = q.shape
     dh = c // num_heads
@@ -83,8 +86,9 @@ def temporal_flat_attention(q, k, v, *, num_heads: int, scale: float):
     # reshape enumerates heads fastest): head id = idx % num_heads.
     ids = jax.lax.broadcasted_iota(jnp.int32, (th, th), 0) % num_heads
     jds = jax.lax.broadcasted_iota(jnp.int32, (th, th), 1) % num_heads
+    s = jnp.where((ids == jds)[None], s, -jnp.inf)
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.where((ids == jds)[None], jnp.exp(s - m), 0.0)
+    e = jnp.exp(s - m)
     inv = 1.0 / jnp.maximum(jnp.sum(e, -1, keepdims=True), 1e-30)
     o = jnp.einsum("pij,pjd->pid", e.astype(v.dtype), vf,
                    preferred_element_type=jnp.float32)

@@ -33,9 +33,11 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, scores, probs, *, num_heads: int,
             block_p: int):
     """Three phases so the MXU never stalls on interleaved VPU softmaxes:
     (1) unrolled per-pixel QK^T matmuls into a scratch score cube,
-    (2) one vectorized masked softmax over the whole block (mask folded
-        into the exp sweep; the raw row max — which may come from a
-        cross-head pair — is still a valid softmax stabilizer),
+    (2) one vectorized masked softmax over the whole block (cross-head
+        pairs masked to -inf before the stabilizer max — a cross-head
+        logit far above the same-head max would otherwise underflow the
+        real probabilities to fp32 zero; the diagonal is same-head, so
+        the masked row max stays finite),
     (3) unrolled per-pixel PV matmuls. Queries arrive pre-scaled."""
     th = q_ref.shape[1]
     ids = jax.lax.broadcasted_iota(jnp.int32, (th, th), 0) % num_heads
@@ -47,9 +49,9 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, scores, probs, *, num_heads: int,
             q_ref[p], k_ref[p], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    s = scores[:]
+    s = jnp.where(same_head, scores[:], -jnp.inf)
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.where(same_head, jnp.exp(s - m), 0.0)
+    e = jnp.exp(s - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     # Unnormalized probs: the 1/denom multiply runs on the [th, dh] PV
     # output instead of the [th, th] probability cube (same epilogue-

@@ -20,8 +20,6 @@ the end: total 24 + 22*(K-1) + 8 = 22K + 10 frames, trimmed to video_len.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -83,14 +81,3 @@ def stitch_first(depths0):
     carry = (depths0[0], depths0[KEYFRAMES[1]], depths0[-INTERP_LEN:])
     emit = depths0[: OVERLAP + 14]  # frames 0..23
     return carry, emit
-
-
-@partial(jax.jit, static_argnames=("metric",))
-def stitch_scan(carry, window_depths, metric: bool = False):
-    """Scan over a chunk of windows. window_depths: [C, 32, H, W] fp32.
-
-    Returns (carry, emitted [C*22, H, W])."""
-    step = partial(stitch_step, metric=metric)
-    carry, emits = jax.lax.scan(step, carry, window_depths)
-    c, f, h, w = emits.shape
-    return carry, emits.reshape(c * f, h, w)

@@ -145,7 +145,8 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
 
     step_count = 0
     for epoch in range(start_epoch, tc.epochs):
-        epoch_loss, nb = 0.0, 0
+        step_losses = []  # device scalars; fetched once per epoch so the
+        nb = 0            # loop never blocks on a per-step host sync
         for batch in train_loader:
             batch = {k: v for k, v in batch.items()
                      if k in ("video", "gt", "mask", "image_video",
@@ -159,11 +160,13 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
             else:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = train_step(state, batch, cfg, tc)
-            epoch_loss += float(metrics["loss"])
+            step_losses.append(metrics["loss"])
             nb += 1
             step_count += 1
             if max_steps > 0 and step_count >= max_steps:
                 break
+        epoch_loss = float(np.sum(jax.device_get(step_losses))) \
+            if step_losses else 0.0
         if proc0:
             logger.log({"train_loss": epoch_loss / max(nb, 1), "epoch": epoch},
                        step_count)
@@ -200,17 +203,22 @@ def train(config_path: str = "configs/config.yaml", data_root: str = None,
                         "delta1": np.mean(delta1s), "tae": np.mean(taes),
                         "epoch": epoch}, step_count)
 
-        extra = {"epoch": epoch, "best_val_loss": best_val, "trial": trial}
-        ckpt.save_checkpoint(out_dir, "latest_checkpoint", state, extra)
-        if val_loss < best_val:
+        # Update best/trial BEFORE writing latest_checkpoint so a resume
+        # restores this epoch's post-val state (test_train.py:402-420
+        # resume contract); saving first would restore a stale best_val
+        # that lets a later, worse epoch overwrite best_checkpoint.
+        improved = val_loss < best_val
+        if improved:
             best_val, trial = val_loss, 0
-            ckpt.save_checkpoint(out_dir, "best_checkpoint", state,
-                                 {**extra, "best_val_loss": best_val})
         else:
             trial += 1
-            if trial >= patience:
-                print(f"early stop at epoch {epoch} (patience {patience})")
-                break
+        extra = {"epoch": epoch, "best_val_loss": best_val, "trial": trial}
+        ckpt.save_checkpoint(out_dir, "latest_checkpoint", state, extra)
+        if improved:
+            ckpt.save_checkpoint(out_dir, "best_checkpoint", state, extra)
+        elif trial >= patience:
+            print(f"early stop at epoch {epoch} (patience {patience})")
+            break
         if max_steps > 0 and step_count >= max_steps:
             break
     return state

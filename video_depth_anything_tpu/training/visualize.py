@@ -8,15 +8,11 @@ import os
 import numpy as np
 
 from ..config import IMAGENET_MEAN, IMAGENET_STD
+from ..utils.video_io import depth_visualization
 
 
 def _colorize(d: np.ndarray) -> np.ndarray:
-    import matplotlib
-
-    lo, hi = float(d.min()), float(d.max())
-    norm = ((d - lo) / (hi - lo + 1e-8) * 255).astype(np.uint8)
-    lut = (np.asarray(matplotlib.colormaps["inferno"].colors) * 255).astype(np.uint8)
-    return lut[norm]
+    return depth_visualization(d[None])[0]
 
 
 def dump_val_frames(out_dir: str, epoch: int, video: np.ndarray,

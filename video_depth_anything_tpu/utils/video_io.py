@@ -88,36 +88,54 @@ def stream_video_frames(video_path: str, process_length: int = -1,
                                                      max_res)
     q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
     stop = object()
+    abandoned = threading.Event()  # consumer gone: unblock q.put, release cap
+
+    def put(item) -> bool:
+        while not abandoned.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                pass
+        return False
 
     def worker():
         try:
             count, emitted = 0, 0
-            while True:
+            while not abandoned.is_set():
                 ok, frame = cap.read()
                 if not ok:
                     break
                 if count % stride == 0:
-                    q.put(_decode_frame(frame, scale_hw))
+                    if not put(_decode_frame(frame, scale_hw)):
+                        break
                     emitted += 1
                     if process_length > 0 and emitted >= process_length:
                         break
                 count += 1
         except Exception as e:  # surface decode errors on the consumer side
-            q.put(e)
+            put(e)
         finally:
             cap.release()
-            q.put(stop)
+            put(stop)
 
     threading.Thread(target=worker, daemon=True).start()
 
     def frames():
-        while True:
-            item = q.get()
-            if item is stop:
-                return
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        # If the consumer abandons the generator (exception mid-stream,
+        # early break), close() runs this finally and the decoder thread
+        # exits instead of blocking forever on the bounded queue with an
+        # open VideoCapture.
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            abandoned.set()
 
     return frames(), fps, out_hw
 
