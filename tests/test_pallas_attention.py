@@ -44,6 +44,13 @@ def test_flash_attention_packed_matches_xla(b, s, h, d, mxu_denom):
                                  interpret=True, mxu_denom=mxu_denom)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+    # base-2 softmax variant is the same function (log2e folded into the
+    # q pre-scale); fp32 rounding of the rescale is the only difference
+    got2 = flash_attention_packed(q, k, v, num_heads=h, scale=scale,
+                                  interpret=True, mxu_denom=mxu_denom,
+                                  exp2=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_flash_attention_long_sequence_adaptive_block():

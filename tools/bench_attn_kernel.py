@@ -116,11 +116,20 @@ def main():
                                           mxu_denom=True), np.float32)
     print(f"  variant agreement: max|diff| = {np.abs(a - b).max():.2e}",
           flush=True)
+    c = np.asarray(flash_attention_packed(qq, kk, vv, num_heads=H,
+                                          scale=DH ** -0.5,
+                                          mxu_denom=True, exp2=True),
+                   np.float32)
+    print(f"  exp2 agreement: max|diff| = {np.abs(b - c).max():.2e}",
+          flush=True)
     t_old = bench(dict(mxu_denom=False), "vpu denom (old)")
     t_new = bench(dict(mxu_denom=True), "mxu denom")
+    t_exp2 = bench(dict(mxu_denom=True, exp2=True), "mxu denom + exp2")
     t_old2 = bench(dict(mxu_denom=False), "vpu denom (re-run)")
-    print(f"  mxu-denom speedup: {min(t_old, t_old2) / t_new:.3f}x",
+    t_new2 = bench(dict(mxu_denom=True), "mxu denom (re-run)")
+    print(f"  mxu-denom speedup: {min(t_old, t_old2) / min(t_new, t_new2):.3f}x",
           flush=True)
+    print(f"  exp2 speedup: {min(t_new, t_new2) / t_exp2:.3f}x", flush=True)
 
 
 if __name__ == "__main__":

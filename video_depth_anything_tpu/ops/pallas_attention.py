@@ -53,8 +53,11 @@ def _fit_block_q(block_q: int, s_pad: int, itemsize: int = 2) -> int:
     return max(128, max_bq // 128 * 128)  # 128-granular fallback (pads q)
 
 
+_LOG2E = 1.4426950408889634  # exp(x) == exp2(x * log2(e))
+
+
 def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int, dh: int,
-                   mxu_denom: bool = True):
+                   mxu_denom: bool = True, exp2: bool = False):
     """Two heads per grid step, operands in the NATURAL [B, S, H*dh] layout
     of the projection matmuls — Mosaic's (8,128) tiling forbids dh=64 as a
     block's last dim, but a 2-head 128-lane block satisfies it, and in-VMEM
@@ -101,8 +104,13 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, s_actual: int, dh: int,
         # half the exp-output bytes (measured ~5-8% kernel time on v5e; the
         # denom from rounded e differs from fp32 by <2^-8 relative, below
         # the p-tile cast rounding the normalized form already had).
+        # exp2: the wrapper folded log2(e) into the q pre-scale, so the
+        # scores are already in the log2 domain and the softmax is the
+        # SAME function (2^(s*log2e) == e^s; the max subtraction commutes)
+        # — but the VPU sweep skips the multiply jnp.exp would need if it
+        # lowers to mul+exp2.
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m).astype(v_ref.dtype)
+        e = (jnp.exp2(s - m) if exp2 else jnp.exp(s - m)).astype(v_ref.dtype)
         if mxu_denom:
             return e, None
         if s_actual < k_ref.shape[1]:
@@ -202,10 +210,10 @@ def flash_attention_qkv_fused(qkv, *, num_heads: int, block_q: int = 4096,
 
 @functools.partial(jax.jit,
                    static_argnames=("num_heads", "scale", "block_q", "interpret",
-                                    "mxu_denom"))
+                                    "mxu_denom", "exp2"))
 def flash_attention_packed(q, k, v, *, num_heads: int, scale: float,
                            block_q: int = 4096, interpret: bool = False,
-                           mxu_denom: bool = True):
+                           mxu_denom: bool = True, exp2: bool = False):
     """Attention on [B, S, C] (C = num_heads * dh, heads contiguous).
 
     Zero-layout-change variant of flash_attention: inputs/outputs are the
@@ -222,6 +230,8 @@ def flash_attention_packed(q, k, v, *, num_heads: int, scale: float,
         o = flash_attention(qh, kh, vh, scale=scale, block_q=block_q,
                             interpret=interpret, mxu_denom=mxu_denom)
         return o.transpose(0, 2, 1, 3).reshape(b, s_len, c)
+    if exp2:
+        scale = scale * _LOG2E  # scores land in the log2 domain
     q = q * jnp.asarray(scale, q.dtype)
     block_q = _fit_block_q(block_q, s_pad, q.dtype.itemsize)
     q_pad = -(-s_pad // block_q) * block_q
@@ -235,7 +245,7 @@ def flash_attention_packed(q, k, v, *, num_heads: int, scale: float,
     grid = (b, hp, q_pad // block_q)
     out = pl.pallas_call(
         functools.partial(_packed_kernel, s_actual=s_len, dh=dh,
-                          mxu_denom=mxu_denom),
+                          mxu_denom=mxu_denom, exp2=exp2),
         out_shape=jax.ShapeDtypeStruct((b, q_pad, c), q.dtype),
         grid=grid,
         in_specs=[
