@@ -96,6 +96,8 @@ def main():
               f"backend={jax.default_backend()}")
         chunks = list(pipe.infer_video_depth_streaming(
             tee(it), input_size=args.input_size, fp32=args.fp32))
+        if not chunks:  # container opened but no frame ever decoded
+            raise ValueError(f"no frames decoded from {args.input_video}")
         depths = np.concatenate(chunks, axis=0)
         frames = None
     else:

@@ -73,3 +73,35 @@ def test_ply_roundtrip(tmp_path):
     rp, rc = read_ply(path)
     np.testing.assert_allclose(rp, pts, rtol=1e-6)
     np.testing.assert_allclose(rc, cols, atol=1 / 255.0)
+
+
+def test_native_loader_uses_prebuilt_so_without_source(tmp_path, monkeypatch):
+    """Installed-package scenario: a prebuilt libvda_native.so with no
+    exr_codec.cpp next to it must load (not raise FileNotFoundError), and a
+    failing staleness rebuild must not discard a loadable .so."""
+    import os
+    import shutil
+
+    import pytest
+
+    from video_depth_anything_tpu import native
+
+    so = native._SO
+    if not os.path.exists(so):
+        if native.load() is None:
+            pytest.skip("native codec not buildable in this environment")
+    shutil.copy(so, tmp_path / "libvda_native.so")
+    monkeypatch.setattr(native, "_DIR", str(tmp_path))
+    monkeypatch.setattr(native, "_SO", str(tmp_path / "libvda_native.so"))
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", False)
+    lib = native.load()
+    assert lib is not None
+
+    # stale .so + unbuildable source: the existing .so must still be used
+    (tmp_path / "exr_codec.cpp").write_text("this is not C++")
+    os.utime(tmp_path / "libvda_native.so",
+             (0, 0))  # force mtime older than the source
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", False)
+    assert native.load() is not None

@@ -104,3 +104,20 @@ def test_stream_video_frames_abandoned_releases_decoder(tmp_path):
             break
         time.sleep(0.05)
     assert not extra, f"decoder thread leaked: {extra}"
+
+
+def test_streaming_int8_matches_batch_int8():
+    """--int8 + --streaming: first-window calibration sees identical frames
+    in both paths, so streaming int8 must match batch int8 bit-exactly."""
+    VIT_CONFIGS["_tinystream8"] = ViTConfig(embed_dim=64, depth=2,
+                                            num_heads=2)
+    cfg = ModelConfig(encoder="_tinystream8", features=32,
+                      out_channels=(32, 32, 32, 32), taps=(0, 0, 1, 1))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    pipe8 = VideoDepthPipeline(cfg, params, use_pallas=False, quant="int8")
+    frames = synthetic_video(n=50, hw=(42, 56))
+    ref, _ = pipe8.infer_video_depth(frames, input_size=28)
+    chunks = list(pipe8.infer_video_depth_streaming(iter(frames),
+                                                    input_size=28))
+    got = np.concatenate(chunks, axis=0)
+    np.testing.assert_array_equal(got, ref)

@@ -88,36 +88,24 @@ def main():
         deltas["attention (all)"] = t_full - run("- tm attention")
         motion._temporal_attention = real_attn
 
-        real_kernel = pta.temporal_flash_attention
-        pta.temporal_flash_attention = \
-            lambda q, k, v, **kw: v + (q + k) * jnp.asarray(1e-12, q.dtype)
-        deltas["attn kernel only"] = t_full - run("- tm attn kernel")
-        pta.temporal_flash_attention = real_kernel
+        # motion._temporal_attention re-imports temporal_flat_attention
+        # from ops.attention at call time, so patching the module attribute
+        # hits the real in-model dispatch (the einsum form — the Pallas
+        # kernel has no in-model call sites since the einsums won the A/B).
+        from video_depth_anything_tpu.ops import attention as attn_mod
 
-        def xla_flat_attention(q, k, v, *, num_heads, scale,
-                               interpret=False):
-            # Same masked (frame*head)-flattened softmax as the kernel,
-            # in plain XLA — measures the custom-call bracketing overhead.
-            p, t, c = q.shape
-            dh = c // num_heads
-            th = t * num_heads
-            qf = (q * jnp.asarray(scale, q.dtype)).reshape(p, th, dh)
-            kf = k.reshape(p, th, dh)
-            vf = v.reshape(p, th, dh)
-            s = jnp.einsum("pid,pjd->pij", qf, kf,
-                           preferred_element_type=jnp.float32)
-            ids = jax.lax.broadcasted_iota(jnp.int32, (th, th), 0) % num_heads
-            jds = jax.lax.broadcasted_iota(jnp.int32, (th, th), 1) % num_heads
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.where((ids == jds)[None], jnp.exp(s - m), 0.0)
-            inv = 1.0 / jnp.maximum(jnp.sum(e, -1, keepdims=True), 1e-30)
-            o = jnp.einsum("pij,pjd->pid", e.astype(v.dtype), vf,
-                           preferred_element_type=jnp.float32)
-            return (o * inv).astype(q.dtype).reshape(p, t, c)
+        real_flat = attn_mod.temporal_flat_attention
+        attn_mod.temporal_flat_attention = \
+            lambda q, k, v, *, num_heads, scale: v + q * jnp.asarray(
+                1e-12, q.dtype)
+        deltas["attn math only"] = t_full - run("- tm attn math")
+        attn_mod.temporal_flat_attention = real_flat
 
-        pta.temporal_flash_attention = xla_flat_attention
-        deltas["kernel -> xla-flat"] = t_full - run("- tm kernel=xla")
-        pta.temporal_flash_attention = real_kernel
+        attn_mod.temporal_flat_attention = \
+            lambda q, k, v, *, num_heads, scale: pta.temporal_flash_attention(
+                q, k, v, num_heads=num_heads, scale=scale)
+        deltas["flat -> pallas kernel"] = t_full - run("- tm flat=pallas")
+        attn_mod.temporal_flat_attention = real_flat
 
         real_ff = motion._geglu_ff
         motion._geglu_ff = \

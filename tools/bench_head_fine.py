@@ -42,16 +42,16 @@ def timed(g, *args):
 
 
 def chain_fn(f):
-    """jit f repeated CHAIN times with a data dependency between runs,
-    returning a scalar readout. Head params reach f via the caller's
-    closure over a jit *argument* (see main), never as inlined constants —
-    vitl-sized constants overflow the tunnel's remote-compile request."""
+    """jit f(head_params, x0, *rest) repeated CHAIN times with a data
+    dependency between runs, returning a scalar readout. The param tree is
+    the FIRST jit argument (never a closure constant — vitl-sized inlined
+    constants overflow the tunnel's remote-compile request, HTTP 413)."""
     @jax.jit
-    def g(*args):
+    def g(hp, *args):
         acc = jnp.float32(0.0)
         x0 = args[0]
         for _ in range(CHAIN):
-            out = f(x0, *args[1:])
+            out = f(hp, x0, *args[1:])
             leaf = out[0] if isinstance(out, (tuple, list)) else out
             acc = acc + jnp.sum(jnp.ravel(leaf)[:8].astype(jnp.float32))
             x0 = x0 + (acc * 1e-12).astype(x0.dtype)
@@ -64,7 +64,7 @@ def main():
     params = video_depth.init_params(0, cfg)
     params = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
                           if a.dtype == jnp.float32 else a, params)
-    p = params["head"]
+    p = jax.device_put(params["head"])
     rng = np.random.default_rng(0)
     ph = pw = SIZE // 14
     d = cfg.vit.embed_dim
@@ -76,20 +76,21 @@ def main():
 
     grids = [rand(T, ph, pw, d) for _ in range(4)]
 
-    def proj_resize(g0, g1, g2, g3):
+    def proj_resize(hp, g0, g1, g2, g3):
         layer_1 = vnn.conv_transpose2d(
-            p["resize_layers"]["0"], vnn.conv2d(p["projects"]["0"], g0), stride=4)
+            hp["resize_layers"]["0"], vnn.conv2d(hp["projects"]["0"], g0),
+            stride=4)
         layer_2 = vnn.conv_transpose2d(
-            p["resize_layers"]["1"], vnn.conv2d(p["projects"]["1"], g1), stride=2)
-        layer_3 = vnn.conv2d(p["projects"]["2"], g2)
+            hp["resize_layers"]["1"], vnn.conv2d(hp["projects"]["1"], g1),
+            stride=2)
+        layer_3 = vnn.conv2d(hp["projects"]["2"], g2)
         layer_4 = vnn.conv2d(
-            p["resize_layers"]["3"], vnn.conv2d(p["projects"]["3"], g3),
+            hp["resize_layers"]["3"], vnn.conv2d(hp["projects"]["3"], g3),
             stride=2, padding=1)
         return layer_1, layer_2, layer_3, layer_4
 
-    layers = jax.jit(proj_resize)(*grids)
-    layers = jax.tree.map(lambda a: a, layers)
-    t_proj = timed(chain_fn(proj_resize), *grids)
+    layers = jax.jit(proj_resize)(p, *grids)
+    t_proj = timed(chain_fn(proj_resize), p, *grids)
 
     mkw = dict(num_heads=cfg.num_attention_heads, pe=cfg.pe,
                num_transformer_block=cfg.num_transformer_block,
@@ -106,24 +107,25 @@ def main():
     for k, shp in tm_shapes.items():
         xin = rand(*shp)
         t_tm[k] = timed(chain_fn(
-            lambda x, k=k: temporal_module(p["motion_modules"][k], x, 1, T,
-                                           **mkw)), xin)
+            lambda hp, x, k=k: temporal_module(hp["motion_modules"][k], x,
+                                               1, T, **mkw)), p, xin)
 
-    def scratch(l1, l2, l3, l4):
-        return tuple(dpt.scratch_rn(p, [l1, l2, l3, l4]))
+    def scratch(hp, l1, l2, l3, l4):
+        return tuple(dpt.scratch_rn(hp, [l1, l2, l3, l4]))
 
-    rns = jax.jit(scratch)(*layers)
-    rns = jax.tree.map(lambda a: a, rns)
-    t_scratch = timed(chain_fn(scratch), *layers)
+    rns = jax.jit(scratch)(p, *layers)
+    t_scratch = timed(chain_fn(scratch), p, *layers)
 
-    sc = p["scratch"]
     l1rn, l2rn, l3rn, l4rn = rns
 
-    def refinenets(l1, l2, l3, l4):
+    def refinenets(hp, l1, l2, l3, l4):
+        sc = hp["scratch"]
         path_4 = dpt.feature_fusion_block(sc["refinenet4"], l4,
-                                          size=l3.shape[-3:-1], use_bn=cfg.use_bn)
+                                          size=l3.shape[-3:-1],
+                                          use_bn=cfg.use_bn)
         path_3 = dpt.feature_fusion_block(sc["refinenet3"], path_4, l3,
-                                          size=l2.shape[-3:-1], use_bn=cfg.use_bn)
+                                          size=l2.shape[-3:-1],
+                                          use_bn=cfg.use_bn)
         path_2 = dpt.feature_fusion_block(sc["refinenet2"], path_3, l2,
                                           use_bn=cfg.use_bn)
         path_1 = dpt.feature_fusion_block(sc["refinenet1"], path_2, l1,
@@ -132,24 +134,25 @@ def main():
 
     # NOTE: refinenet2's real size arg is l1rn's HW; with the standard 4x/2x
     # tap geometry scale_factor-2 (size=None) is identical.
-    path_1 = jax.jit(refinenets)(l1rn, l2rn, l3rn, l4rn)
+    path_1 = jax.jit(refinenets)(p, l1rn, l2rn, l3rn, l4rn)
     path_1.block_until_ready()
-    t_refine = timed(chain_fn(refinenets), l1rn, l2rn, l3rn, l4rn)
+    t_refine = timed(chain_fn(refinenets), p, l1rn, l2rn, l3rn, l4rn)
 
-    def out_head(x):
-        return dpt.output_head(p, x, (14 * ph, 14 * pw))
+    def out_head(hp, x):
+        return dpt.output_head(hp, x, (14 * ph, 14 * pw))
 
-    t_out = timed(chain_fn(out_head), path_1)
+    t_out = timed(chain_fn(out_head), p, path_1)
 
-    depth = jax.jit(out_head)(path_1)
+    depth = jax.jit(out_head)(p, path_1)
     depth.block_until_ready()
 
-    def final_resize(dd):
+    def final_resize(hp, dd):
+        del hp  # no params; chain_fn's signature keeps the tools uniform
         out = resize_bilinear_align_corners(dd.astype(jnp.float32),
                                             (SIZE, SIZE))
         return jnp.maximum(out, 0.0)[..., 0].reshape(1, T, SIZE, SIZE)
 
-    t_final = timed(chain_fn(final_resize), depth)
+    t_final = timed(chain_fn(final_resize), p, depth)
 
     total = (t_proj + sum(t_tm.values()) + t_scratch + t_refine + t_out
              + t_final)

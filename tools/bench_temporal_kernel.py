@@ -59,22 +59,10 @@ def timed(fn, *args):
 
 
 def xla_flat(q, k, v, num_heads, scale):
-    p, t, c = q.shape
-    dh = c // num_heads
-    th = t * num_heads
-    qf = (q * scale).reshape(p, th, dh)
-    kf = k.reshape(p, th, dh)
-    vf = v.reshape(p, th, dh)
-    s = jnp.einsum("pid,pjd->pij", qf, kf,
-                   preferred_element_type=jnp.float32)
-    ids = jax.lax.broadcasted_iota(jnp.int32, (th, th), 0) % num_heads
-    jds = jax.lax.broadcasted_iota(jnp.int32, (th, th), 1) % num_heads
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.where((ids == jds)[None], jnp.exp(s - m), 0.0)
-    inv = 1.0 / jnp.maximum(jnp.sum(e, -1, keepdims=True), 1e-30)
-    o = jnp.einsum("pij,pjd->pid", e.astype(v.dtype), vf,
-                   preferred_element_type=jnp.float32)
-    return (o * inv).astype(q.dtype).reshape(p, t, c)
+    # The real in-model path — no local copy, so numerics fixes (e.g. the
+    # masked stabilizer max) are always the production ones.
+    from video_depth_anything_tpu.ops.attention import temporal_flat_attention
+    return temporal_flat_attention(q, k, v, num_heads=num_heads, scale=scale)
 
 
 def xla_head(q, k, v, num_heads, scale):

@@ -32,7 +32,11 @@ def main():
                 break
     if enc is None:
         sys.exit("cannot infer encoder from filename; pass --encoder")
-    cfg = get_model_config(enc)
+    try:
+        cfg = get_model_config(enc)
+    except KeyError:
+        sys.exit(f"no model config for encoder '{enc}' "
+                 f"(supported: vits, vitl); pass --encoder")
     params = load_torch_checkpoint(args.checkpoint, cfg)
     out = args.out or os.path.splitext(args.checkpoint)[0] + ".npz"
     save_params(out, params)

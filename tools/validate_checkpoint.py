@@ -57,7 +57,15 @@ def validate_one(path, encoder=None, video=None, input_size=None,
         report["error"] = "cannot infer encoder from filename; pass --encoder"
         return report
     metric = "metric" in os.path.basename(path)
-    cfg = get_model_config(encoder, metric=metric)
+    try:
+        cfg = get_model_config(encoder, metric=metric)
+    except KeyError:
+        # infer_encoder can name encoders the model zoo has no config for
+        # (vitb/vitg have DINOv2 factories but no released VDA checkpoint,
+        # run.py:40-43) — report instead of killing the whole scan.
+        report["error"] = (f"no model config for encoder '{encoder}' "
+                           f"(supported: vits, vitl); pass --encoder")
+        return report
     report["encoder"], report["metric"] = encoder, metric
 
     # 1. load (.pth converts through utils/torch_convert; strict key contract)

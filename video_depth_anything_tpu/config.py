@@ -8,7 +8,7 @@ Parity notes (reference: /root/reference):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 # ---------------------------------------------------------------------------
 # Sliding-window inference constants (reference video_depth.py:30-33).
@@ -77,9 +77,14 @@ class ModelConfig:
     num_attention_blocks: int = 2
     metric: bool = False                 # metric model: identity stitching
     taps: Tuple[int, ...] = ()           # override feature-tap layer indices
+    # Explicit encoder config (tiny test/dryrun encoders) — avoids mutating
+    # the shared VIT_CONFIGS table to register ad-hoc encoders.
+    vit_override: Optional[ViTConfig] = None
 
     @property
     def vit(self) -> ViTConfig:
+        if self.vit_override is not None:
+            return self.vit_override
         return VIT_CONFIGS[self.encoder]
 
     @property

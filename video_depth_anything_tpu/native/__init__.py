@@ -28,17 +28,28 @@ def _build() -> bool:
 
 
 def load():
-    """-> ctypes lib or None when native build is unavailable."""
+    """-> ctypes lib or None when native build is unavailable.
+
+    A prebuilt .so is used as-is when the source is missing (installed
+    package without sources) or when a staleness rebuild fails (no g++ on
+    this machine) — graceful degradation must never discard a loadable
+    library, and a missing source must not raise.
+    """
     global _LIB, _TRIED
     with _LOCK:
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        if not os.path.exists(_SO) or (os.path.getmtime(_SO) <
-                                       os.path.getmtime(os.path.join(_DIR, "exr_codec.cpp"))):
-            if not _build():
-                return None
-        lib = ctypes.CDLL(_SO)
+        src = os.path.join(_DIR, "exr_codec.cpp")
+        have_so = os.path.exists(_SO)
+        stale = (have_so and os.path.exists(src)
+                 and os.path.getmtime(_SO) < os.path.getmtime(src))
+        if (not have_so or stale) and not _build() and not have_so:
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
         lib.vda_write_exr_z.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.c_int, ctypes.c_int]

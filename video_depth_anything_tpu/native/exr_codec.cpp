@@ -184,10 +184,14 @@ int vda_write_exr_z(const char* path, const float* data, int h, int w,
 
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
-  fwrite(pre.data(), 1, pre.size(), f);
-  fwrite(table.data(), 1, table.size(), f);
-  for (auto& blk : blocks) fwrite(blk.data(), 1, blk.size(), f);
-  fclose(f);
+  // Short writes (disk full, I/O error) must fail loudly: a truncated EXR
+  // returned as success only surfaces when a downstream consumer parses it.
+  bool ok = fwrite(pre.data(), 1, pre.size(), f) == pre.size() &&
+            fwrite(table.data(), 1, table.size(), f) == table.size();
+  for (auto& blk : blocks)
+    ok = ok && fwrite(blk.data(), 1, blk.size(), f) == blk.size();
+  ok = (fclose(f) == 0) && ok;  // fclose flushes; order keeps both checks
+  if (!ok) { remove(path); return -3; }
   return 0;
 }
 

@@ -148,7 +148,7 @@ def fused_rcu(p, x, *, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((n, h_pad * wp, c), x.dtype),
         grid=(n, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((9, c, c), lambda ni, ti: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda ni, ti: (0, 0),

@@ -260,10 +260,6 @@ class VideoDepthPipeline:
         of pipeline/windows.py are sequential in the cached-keyframe
         scheme), so only O(window) frames are ever resident.
         """
-        if self.quant == "int8":
-            raise NotImplementedError(
-                "streaming int8 would calibrate mid-stream; use "
-                "infer_video_depth (it calibrates on the first window)")
         it = iter(frame_iter)
         first = []
         for f in it:
@@ -284,6 +280,12 @@ class VideoDepthPipeline:
         n = len(first)
         ended = n < INFER_LEN
         window = first + [first[-1]] * (INFER_LEN - n)  # tail clamp
+        if self.quant == "int8":
+            # Same first-window calibration as infer_video_depth: the whole
+            # first window is buffered before any compute, so the activation
+            # stats come from identical frames in both paths.
+            params = self._quantized_params(params, np.stack(window), net_hw,
+                                            dtype)
         feats = encode(params, jnp.asarray(np.stack(window)))
         depths = head_fn(params, feats)                 # [1, 32, H, W]
         carry, emit = _stitch_first_jit(depths[0])
