@@ -22,8 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
-from video_depth_anything_tpu.config import (VIT_CONFIGS, ModelConfig,  # noqa: E402
-                                             ViTConfig)
+from video_depth_anything_tpu.config import ModelConfig, ViTConfig  # noqa: E402
 from video_depth_anything_tpu.models.video_depth import init_params  # noqa: E402
 from video_depth_anything_tpu.parallel import distributed as dist  # noqa: E402
 from video_depth_anything_tpu.training.train_state import (  # noqa: E402
@@ -40,9 +39,11 @@ def main():
     mesh = dist.global_mesh()
     assert mesh.shape["data"] == 2 * nproc
 
-    VIT_CONFIGS["_tinydist"] = ViTConfig(embed_dim=64, depth=2, num_heads=2)
-    cfg = ModelConfig(encoder="_tinydist", features=32,
-                      out_channels=(32, 32, 32, 32), num_frames=4,
+    cfg = ModelConfig(
+        encoder="_tinydist",
+        vit_override=ViTConfig(embed_dim=64, depth=2, num_heads=2),
+        features=32,
+        out_channels=(32, 32, 32, 32), num_frames=4,
                       taps=(0, 0, 1, 1))
     tc = TrainConfig(learning_rate=3e-3, epochs=1, steps_per_epoch=10,
                      compute_dtype="float32", ratio_tgm=1.0)

@@ -5,7 +5,7 @@ import os
 import numpy as np
 
 from video_depth_anything_tpu.benchmark import evaluate, infer, manifests
-from video_depth_anything_tpu.config import VIT_CONFIGS, ModelConfig, ViTConfig
+from video_depth_anything_tpu.config import ModelConfig, ViTConfig
 from video_depth_anything_tpu.models.video_depth import init_params
 from video_depth_anything_tpu.pipeline import VideoDepthPipeline
 
@@ -26,9 +26,11 @@ def test_infer_manifest_to_eval(tmp_path):
     json_file = str(root / "bonn_video.json")
     manifests.gen_json(str(root), "bonn", save_path=json_file)
 
-    VIT_CONFIGS["_tinybench"] = ViTConfig(embed_dim=64, depth=2, num_heads=2)
-    cfg = ModelConfig(encoder="_tinybench", features=32,
-                      out_channels=(32, 32, 32, 32), num_frames=32,
+    cfg = ModelConfig(
+        encoder="_tinybench",
+        vit_override=ViTConfig(embed_dim=64, depth=2, num_heads=2),
+        features=32,
+        out_channels=(32, 32, 32, 32), num_frames=32,
                       taps=(0, 0, 1, 1))
     pipe = VideoDepthPipeline(cfg, init_params(0, cfg), use_pallas=False)
 

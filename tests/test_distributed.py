@@ -23,15 +23,17 @@ WORKER = os.path.join(ROOT, "tests", "dist_worker.py")
 
 def _oracle_loss(steps: int) -> float:
     """Same toy model/batch as dist_worker.py, single process, no mesh."""
-    from video_depth_anything_tpu.config import (VIT_CONFIGS, ModelConfig,
+    from video_depth_anything_tpu.config import (ModelConfig,
                                                  ViTConfig)
     from video_depth_anything_tpu.models.video_depth import init_params
     from video_depth_anything_tpu.training.train_state import (
         TrainConfig, create_train_state, train_step)
 
-    VIT_CONFIGS["_tinydist"] = ViTConfig(embed_dim=64, depth=2, num_heads=2)
-    cfg = ModelConfig(encoder="_tinydist", features=32,
-                      out_channels=(32, 32, 32, 32), num_frames=4,
+    cfg = ModelConfig(
+        encoder="_tinydist",
+        vit_override=ViTConfig(embed_dim=64, depth=2, num_heads=2),
+        features=32,
+        out_channels=(32, 32, 32, 32), num_frames=4,
                       taps=(0, 0, 1, 1))
     tc = TrainConfig(learning_rate=3e-3, epochs=1, steps_per_epoch=10,
                      compute_dtype="float32", ratio_tgm=1.0)

@@ -3,16 +3,18 @@ import numpy as np
 
 import jax
 
-from video_depth_anything_tpu.config import VIT_CONFIGS, ModelConfig, ViTConfig
+from video_depth_anything_tpu.config import ModelConfig, ViTConfig
 from video_depth_anything_tpu.models.video_depth import init_params
 from video_depth_anything_tpu.parallel import make_mesh
 from video_depth_anything_tpu.pipeline import VideoDepthPipeline
 
 
 def test_sharded_inference_matches_single_device():
-    VIT_CONFIGS["_tinymesh"] = ViTConfig(embed_dim=64, depth=2, num_heads=2)
-    cfg = ModelConfig(encoder="_tinymesh", features=32,
-                      out_channels=(32, 32, 32, 32), num_frames=32,
+    cfg = ModelConfig(
+        encoder="_tinymesh",
+        vit_override=ViTConfig(embed_dim=64, depth=2, num_heads=2),
+        features=32,
+        out_channels=(32, 32, 32, 32), num_frames=32,
                       taps=(0, 0, 1, 1))
     params = init_params(0, cfg)
     rng = np.random.default_rng(0)

@@ -5,14 +5,16 @@ import numpy as np
 
 import jax
 
-from video_depth_anything_tpu.config import VIT_CONFIGS, ModelConfig, ViTConfig
+from video_depth_anything_tpu.config import ModelConfig, ViTConfig
 from video_depth_anything_tpu.models.video_depth import init_params
 from video_depth_anything_tpu.utils import params_io
 
 
 def test_npz_roundtrip(tmp_path):
-    VIT_CONFIGS["_tinyio"] = ViTConfig(embed_dim=32, depth=2, num_heads=2)
-    cfg = ModelConfig(encoder="_tinyio", features=32, out_channels=(32, 32, 32, 32),
+    cfg = ModelConfig(
+        encoder="_tinyio",
+        vit_override=ViTConfig(embed_dim=32, depth=2, num_heads=2),
+        features=32, out_channels=(32, 32, 32, 32),
                       num_frames=4, taps=(0, 1, 1, 1))
     params = init_params(0, cfg)
     path = str(tmp_path / "ckpt.npz")

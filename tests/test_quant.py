@@ -83,13 +83,15 @@ def test_quantized_blocks_stay_scan_sliceable():
 
 
 def test_temporal_module_int8_close_to_fp32():
-    from video_depth_anything_tpu.config import ModelConfig, VIT_CONFIGS
+    from video_depth_anything_tpu.config import ModelConfig
     from video_depth_anything_tpu.models.motion import temporal_module
     from video_depth_anything_tpu.models.video_depth import init_head_params
 
-    VIT_CONFIGS["_tinyq"] = ViTConfig(embed_dim=64, depth=2, num_heads=2)
-    cfg = ModelConfig(encoder="_tinyq", features=64,
-                      out_channels=(64, 64, 64, 64), num_frames=4)
+    cfg = ModelConfig(
+        encoder="_tinyq",
+        vit_override=ViTConfig(embed_dim=64, depth=2, num_heads=2),
+        features=64,
+        out_channels=(64, 64, 64, 64), num_frames=4)
     rng = np.random.default_rng(3)
     p = jax.tree.map(jnp.asarray, init_head_params(rng, cfg))
     mp = p["motion_modules"]["0"]

@@ -11,8 +11,7 @@ import pytest
 
 import jax
 
-from video_depth_anything_tpu.config import (VIT_CONFIGS, ModelConfig,
-                                             ViTConfig)
+from video_depth_anything_tpu.config import ModelConfig, ViTConfig
 from video_depth_anything_tpu.models.video_depth import init_params
 from video_depth_anything_tpu.pipeline import VideoDepthPipeline
 
@@ -21,9 +20,11 @@ from test_precision_budget import synthetic_video
 
 @pytest.fixture(scope="module")
 def pipe():
-    VIT_CONFIGS["_tinystream"] = ViTConfig(embed_dim=64, depth=2, num_heads=2)
-    cfg = ModelConfig(encoder="_tinystream", features=32,
-                      out_channels=(32, 32, 32, 32), taps=(0, 0, 1, 1))
+    cfg = ModelConfig(
+        encoder="_tinystream",
+        vit_override=ViTConfig(embed_dim=64, depth=2, num_heads=2),
+        features=32,
+        out_channels=(32, 32, 32, 32), taps=(0, 0, 1, 1))
     params = init_params(jax.random.PRNGKey(0), cfg)
     return VideoDepthPipeline(cfg, params, use_pallas=False)
 
@@ -109,10 +110,11 @@ def test_stream_video_frames_abandoned_releases_decoder(tmp_path):
 def test_streaming_int8_matches_batch_int8():
     """--int8 + --streaming: first-window calibration sees identical frames
     in both paths, so streaming int8 must match batch int8 bit-exactly."""
-    VIT_CONFIGS["_tinystream8"] = ViTConfig(embed_dim=64, depth=2,
-                                            num_heads=2)
-    cfg = ModelConfig(encoder="_tinystream8", features=32,
-                      out_channels=(32, 32, 32, 32), taps=(0, 0, 1, 1))
+    cfg = ModelConfig(
+        encoder="_tinystream8",
+        vit_override=ViTConfig(embed_dim=64, depth=2, num_heads=2),
+        features=32,
+        out_channels=(32, 32, 32, 32), taps=(0, 0, 1, 1))
     params = init_params(jax.random.PRNGKey(0), cfg)
     pipe8 = VideoDepthPipeline(cfg, params, use_pallas=False, quant="int8")
     frames = synthetic_video(n=50, hw=(42, 56))

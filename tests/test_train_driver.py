@@ -4,7 +4,7 @@ import os
 
 import pytest
 
-from video_depth_anything_tpu.config import VIT_CONFIGS, ModelConfig, ViTConfig
+from video_depth_anything_tpu.config import ModelConfig, ViTConfig
 from video_depth_anything_tpu.training.train import train
 
 from test_data import _make_vkitti
@@ -20,9 +20,11 @@ def test_train_driver_end_to_end(tmp_path):
         "  ratio_ssi: 1\n  ratio_tgm: 1\n  patient: 5\n  batch_size: 1\n"
         "  compute_dtype: float32\n")
 
-    VIT_CONFIGS["_tinytrain"] = ViTConfig(embed_dim=64, depth=2, num_heads=2)
-    mcfg = ModelConfig(encoder="_tinytrain", features=32,
-                       out_channels=(32, 32, 32, 32), num_frames=3,
+    mcfg = ModelConfig(
+        encoder="_tinytrain",
+        vit_override=ViTConfig(embed_dim=64, depth=2, num_heads=2),
+        features=32,
+         out_channels=(32, 32, 32, 32), num_frames=3,
                        taps=(0, 0, 1, 1))
     out = str(tmp_path / "out")
     train(str(cfg_yaml), data_root=root, out_dir=out, max_steps=2,
@@ -95,9 +97,11 @@ def test_shard_train_state_preserves_resume_state():
     from video_depth_anything_tpu.training.train_state import (
         TrainConfig, create_train_state, shard_train_state, train_step)
 
-    VIT_CONFIGS["_tinyresume"] = ViTConfig(embed_dim=64, depth=2, num_heads=2)
-    mcfg = ModelConfig(encoder="_tinyresume", features=32,
-                       out_channels=(32, 32, 32, 32), num_frames=3,
+    mcfg = ModelConfig(
+        encoder="_tinyresume",
+        vit_override=ViTConfig(embed_dim=64, depth=2, num_heads=2),
+        features=32,
+         out_channels=(32, 32, 32, 32), num_frames=3,
                        taps=(0, 0, 1, 1))
     tc = TrainConfig(steps_per_epoch=4, epochs=2, compute_dtype="float32")
 
@@ -142,9 +146,11 @@ def test_cosine_horizon_follows_loader(tmp_path, monkeypatch):
         "hyper_parameter:\n  learning_rate: 1.0e-3\n  epochs: 1\n"
         "  batch_size: 1\n  compute_dtype: float32\n")
 
-    VIT_CONFIGS["_tinyhorizon"] = ViTConfig(embed_dim=64, depth=2, num_heads=2)
-    mcfg = ModelConfig(encoder="_tinyhorizon", features=32,
-                       out_channels=(32, 32, 32, 32), num_frames=3,
+    mcfg = ModelConfig(
+        encoder="_tinyhorizon",
+        vit_override=ViTConfig(embed_dim=64, depth=2, num_heads=2),
+        features=32,
+         out_channels=(32, 32, 32, 32), num_frames=3,
                        taps=(0, 0, 1, 1))
 
     captured = {}

@@ -7,7 +7,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from video_depth_anything_tpu.config import VIT_CONFIGS, ModelConfig, ViTConfig
+from video_depth_anything_tpu.config import ModelConfig, ViTConfig
 from video_depth_anything_tpu.models.video_depth import init_params
 from video_depth_anything_tpu.training.train_state import (
     TrainConfig, TrainState, create_train_state, train_step)
@@ -15,8 +15,10 @@ from video_depth_anything_tpu.training.train_state import (
 
 @pytest.fixture(scope="module")
 def tiny():
-    VIT_CONFIGS["_tiny2"] = ViTConfig(embed_dim=64, depth=2, num_heads=2)
-    cfg = ModelConfig(encoder="_tiny2", features=32, out_channels=(32, 32, 32, 32),
+    cfg = ModelConfig(
+        encoder="_tiny2",
+        vit_override=ViTConfig(embed_dim=64, depth=2, num_heads=2),
+        features=32, out_channels=(32, 32, 32, 32),
                       num_frames=4, taps=(0, 0, 1, 1))
     tc = TrainConfig(learning_rate=3e-3, epochs=1, steps_per_epoch=10,
                      compute_dtype="float32", ratio_tgm=1.0)

@@ -94,8 +94,8 @@ def validate_one(path, encoder=None, video=None, input_size=None,
     # 3. pipeline forward on real or synthetic frames
     if video is not None:
         from video_depth_anything_tpu.utils.video_io import read_video_frames
-        frames, _ = read_video_frames(video, max_len=64, target_fps=-1,
-                                      max_res=640)
+        frames, _ = read_video_frames(video, process_length=64,
+                                      target_fps=-1, max_res=640)
         size = input_size or 518
     else:
         frames = synthetic_video()

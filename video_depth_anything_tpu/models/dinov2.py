@@ -78,10 +78,6 @@ def _ffn(bp, y, ffn_layer: str):
     return vnn.linear(bp["mlp"]["w3"], jax.nn.silu(x1) * x2)
 
 
-def _amax(x):
-    return jnp.max(jnp.abs(x.astype(jnp.float32)))
-
-
 def _block_step(carry, bp, *, num_heads: int, use_pallas, ffn_layer="mlp",
                 collect_stats: bool = False):
     """One pre-norm ViT block (reference dinov2_layers/block.py:82-107).
@@ -99,7 +95,7 @@ def _block_step(carry, bp, *, num_heads: int, use_pallas, ffn_layer="mlp",
 
     y = vnn.layer_norm(bp["norm1"], x, eps=1e-6)
     if collect_stats:
-        stats["qkv"] = _amax(y)
+        stats["qkv"] = quant_ops.amax(y)
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and s >= 256
@@ -152,7 +148,7 @@ def _block_step(carry, bp, *, num_heads: int, use_pallas, ffn_layer="mlp",
         k = vnn.linear(bp["attn"]["k"], y)
         v = vnn.linear(bp["attn"]["v"], y)
         if collect_stats:
-            stats["q_out"], stats["k_out"] = _amax(q), _amax(k)
+            stats["q_out"], stats["k_out"] = quant_ops.amax(q), quant_ops.amax(k)
         o = flash_attention_packed(q, k, v, num_heads=num_heads,
                                    scale=dh ** -0.5)
     else:
@@ -166,12 +162,12 @@ def _block_step(carry, bp, *, num_heads: int, use_pallas, ffn_layer="mlp",
         hq = head_proj(bp["attn"]["q"])
         hk = head_proj(bp["attn"]["k"])
         if collect_stats:
-            stats["q_out"], stats["k_out"] = _amax(hq), _amax(hk)
+            stats["q_out"], stats["k_out"] = quant_ops.amax(hq), quant_ops.amax(hk)
         o = attn_ops.mha(hq, hk, head_proj(bp["attn"]["v"]),
                          use_pallas=use_pallas)            # [N,H,S,dh]
         o = o.transpose(0, 2, 1, 3).reshape(n, s, d)
     if collect_stats:
-        stats["proj"] = _amax(o)
+        stats["proj"] = quant_ops.amax(o)
     if qs is not None:
         o = quant_ops.qlinear(bp["attn"]["proj"],
                               quant_ops.quant_act(o, qs["proj"]),
@@ -182,7 +178,7 @@ def _block_step(carry, bp, *, num_heads: int, use_pallas, ffn_layer="mlp",
 
     y = vnn.layer_norm(bp["norm2"], x, eps=1e-6)
     if collect_stats:
-        stats["fc1"] = _amax(y)
+        stats["fc1"] = quant_ops.amax(y)
     if qs is not None and "w_i8" in bp["mlp"].get("fc1", {}):
         h = quant_ops.qlinear(bp["mlp"]["fc1"],
                               quant_ops.quant_act(y, qs["fc1"]),
@@ -194,7 +190,7 @@ def _block_step(carry, bp, *, num_heads: int, use_pallas, ffn_layer="mlp",
     elif collect_stats and ffn_layer == "mlp":
         h = vnn.linear(bp["mlp"]["fc1"], y)
         g = vnn.gelu(h)
-        stats["fc2"] = _amax(g)
+        stats["fc2"] = quant_ops.amax(g)
         y = vnn.linear(bp["mlp"]["fc2"], g)
     else:
         y = _ffn(bp, y, ffn_layer)

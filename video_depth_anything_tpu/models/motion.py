@@ -22,10 +22,6 @@ from ..ops import quant as quant_ops
 from ..ops.attention import temporal_mha
 
 
-def _amax(x):
-    return jnp.max(jnp.abs(x.astype(jnp.float32)))
-
-
 def sinusoidal_pe(d_model: int, max_len: int) -> np.ndarray:
     """APE table (motion_module.py:180-198): pe[0,:,0::2]=sin, 1::2=cos."""
     position = np.arange(max_len, dtype=np.float64)[:, None]
@@ -72,7 +68,7 @@ def _temporal_attention(p, x, num_heads: int, pe: str,
         x = x + p["pos_encoder"]["pe"][:, :t].astype(x.dtype)
     qs = p.get("qs")
     if collect_stats:
-        stats["qkv"] = _amax(x)
+        stats["qkv"] = quant_ops.amax(x)
     if qs is not None:
         xq = quant_ops.quant_act(x, qs["qkv"])
         q = quant_ops.qlinear(p["to_q"], xq, qs["qkv"], x.dtype)
@@ -120,7 +116,7 @@ def _temporal_attention(p, x, num_heads: int, pe: str,
         v = v.reshape(bd, t, num_heads, dh).transpose(0, 2, 1, 3)
         o = temporal_mha(q, k, v).transpose(0, 2, 1, 3).reshape(bd, t, c)
     if collect_stats:
-        stats["out"] = _amax(o)
+        stats["out"] = quant_ops.amax(o)
     if qs is not None:
         return quant_ops.linear_maybe_q(p["to_out"]["0"], o, qs["out"])
     return vnn.linear(p["to_out"]["0"], o)
@@ -148,7 +144,7 @@ def _geglu_ff(p, x, collect_stats: bool = False, stats: dict = None):
     """
     qs = p.get("qs")
     if collect_stats:
-        stats["ff_proj"] = _amax(x)
+        stats["ff_proj"] = quant_ops.amax(x)
     proj = p["net"]["0"]["proj"]
     n8 = (proj["w"] if "w" in proj else proj["w_i8"]).shape[-1]
     amax = qs["ff_proj"] if qs else None
@@ -159,12 +155,12 @@ def _geglu_ff(p, x, collect_stats: bool = False, stats: dict = None):
                                     amax, x_i8=x_i8)
     h = val * vnn.gelu(gate)
     if collect_stats:
-        stats["ff_g"] = _amax(h)
+        stats["ff_g"] = quant_ops.amax(h)
     return quant_ops.linear_maybe_q(p["net"]["2"], h,
                                     qs["ff_g"] if qs else None)
 
 
-def _transformer_block(p, x, b: int, t: int, num_heads: int, pe: str,
+def _transformer_block(p, x, num_heads: int, pe: str,
                        num_attention_blocks: int = 2,
                        collect_stats: bool = False, stats: dict = None):
     """TemporalTransformerBlock (motion_module.py:129-177) on [B*HW, T, C].
@@ -208,7 +204,7 @@ def temporal_module(p, x, b: int, t: int, num_heads: int = 8, pe: str = "ape",
     y = vnn.group_norm(tt["norm"], x, num_groups=32, eps=1e-6)
     y = y.reshape(bt, h * w, c)
     if collect_stats:
-        stats["proj_in"] = _amax(y)
+        stats["proj_in"] = quant_ops.amax(y)
     y = quant_ops.linear_maybe_q(tt["proj_in"], y,
                                  qs["proj_in"] if qs else None)
     # One layout change for the whole transformer stack: (b f) d c ->
@@ -218,14 +214,14 @@ def temporal_module(p, x, b: int, t: int, num_heads: int = 8, pe: str = "ape",
     y = y.reshape(b, t, hw, c).transpose(0, 2, 1, 3).reshape(b * hw, t, c)
     for i in range(num_transformer_block):
         bst = {} if collect_stats else None
-        y = _transformer_block(tt["transformer_blocks"][str(i)], y, b, t,
+        y = _transformer_block(tt["transformer_blocks"][str(i)], y,
                                num_heads, pe, num_attention_blocks,
                                collect_stats=collect_stats, stats=bst)
         if collect_stats:
             stats.setdefault("blocks", {})[str(i)] = bst
     y = y.reshape(b, hw, t, c).transpose(0, 2, 1, 3).reshape(b * t, hw, c)
     if collect_stats:
-        stats["proj_out"] = _amax(y)
+        stats["proj_out"] = quant_ops.amax(y)
     y = quant_ops.linear_maybe_q(tt["proj_out"], y,
                                  qs["proj_out"] if qs else None)
     out = y.reshape(bt, h, w, c) + residual

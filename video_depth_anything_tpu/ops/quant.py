@@ -30,6 +30,11 @@ import jax.numpy as jnp
 ACT_SITES = ("qkv", "proj", "fc1", "fc2", "q_out", "k_out")
 
 
+def amax(x):
+    """Calibration primitive: fp32 absmax of a tensor (static act scales)."""
+    return jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+
 def quantize_weight(w):
     """w [..., K, N] float -> (w_i8 [..., K, N] int8, ws [..., N] fp32).
 

@@ -260,6 +260,11 @@ class VideoDepthPipeline:
         of pipeline/windows.py are sequential in the cached-keyframe
         scheme), so only O(window) frames are ever resident.
         """
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "streaming uses the sequential keyframe-feature cache; for "
+                "mesh-sharded window batching use infer_video_depth with "
+                "windows_per_batch")
         it = iter(frame_iter)
         first = []
         for f in it:

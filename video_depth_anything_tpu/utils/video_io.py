@@ -195,26 +195,33 @@ class IncrementalVideoWriter:
         self._w = None
         self._kind = None
 
-    def _open(self, h: int, w: int):
+    def _open(self, first_frame: np.ndarray):
+        # imageio spawns ffmpeg lazily on the first append_data, so a
+        # missing/libx264-less ffmpeg only surfaces there — probe with the
+        # first frame INSIDE the try, like _save_video_ffmpeg does, and
+        # fall back to cv2 (which reopens/overwrites the path).
         try:
             import imageio
-            self._w = imageio.get_writer(self.path, fps=self.fps,
-                                         macro_block_size=1, codec="libx264",
-                                         ffmpeg_params=["-crf", "18"])
-            self._kind = "imageio"
+            w = imageio.get_writer(self.path, fps=self.fps,
+                                   macro_block_size=1, codec="libx264",
+                                   ffmpeg_params=["-crf", "18"])
+            w.append_data(first_frame)
+            self._w, self._kind = w, "imageio"
         except Exception:
             assert _CV2, "OpenCV required for video encode"
+            h, w = first_frame.shape[:2]
             self._w = cv2.VideoWriter(self.path,
                                       cv2.VideoWriter_fourcc(*"mp4v"),
                                       self.fps, (w, h))
             if not self._w.isOpened():
                 raise IOError(f"cannot open video writer for {self.path}")
             self._kind = "cv2"
+            self._w.write(cv2.cvtColor(first_frame, cv2.COLOR_RGB2BGR))
 
     def append(self, frame_rgb: np.ndarray):
         if self._w is None:
-            self._open(*frame_rgb.shape[:2])
-        if self._kind == "imageio":
+            self._open(frame_rgb)
+        elif self._kind == "imageio":
             self._w.append_data(frame_rgb)
         else:
             self._w.write(cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2BGR))
