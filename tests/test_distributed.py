@@ -88,6 +88,50 @@ def test_two_process_train_matches_single_process():
         (results[0][0], oracle)
 
 
+def test_two_process_inference_matches_single_process(tmp_path):
+    """Mesh-sharded window inference across 2 OS processes (gloo) must
+    reproduce the single-process pipeline on the same frames — the serving
+    analogue of the training test above."""
+    port = _free_port()
+    worker = os.path.join(ROOT, "tests", "dist_infer_worker.py")
+    env = {**os.environ,
+           "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+    procs, outs = [], []
+    for pid in range(2):
+        out = str(tmp_path / f"depths_{pid}.npy")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), out],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=ROOT, text=True))
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{stdout}\n{stderr}"
+
+    a = np.load(outs[0])
+    b = np.load(outs[1])
+    # Every host must hold the identical full result (allgathered fetch).
+    np.testing.assert_array_equal(a, b)
+
+    # Single-process oracle: same tiny model/frames through the same API.
+    from video_depth_anything_tpu.config import ModelConfig, ViTConfig
+    from video_depth_anything_tpu.models.video_depth import init_params
+    from video_depth_anything_tpu.pipeline import VideoDepthPipeline
+
+    cfg = ModelConfig(
+        encoder="_tinydinf",
+        vit_override=ViTConfig(embed_dim=64, depth=2, num_heads=2),
+        features=32, out_channels=(32, 32, 32, 32), num_frames=32,
+        taps=(0, 0, 1, 1))
+    params = init_params(0, cfg)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(70, 42, 56, 3), dtype=np.uint8)
+    single = VideoDepthPipeline(cfg, params, use_pallas=False)
+    ref, _ = single.infer_video_depth(frames, input_size=28, fp32=True)
+    np.testing.assert_allclose(a, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_loader_sharding_partitions_epoch():
     from video_depth_anything_tpu.data.loader import DataLoader
 

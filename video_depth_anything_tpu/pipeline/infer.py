@@ -86,7 +86,26 @@ class VideoDepthPipeline:
             return jnp.asarray(win)
         from jax.sharding import NamedSharding, PartitionSpec as P
         spec = P("data", *([None] * (win.ndim - 1)))
-        return jax.device_put(win, NamedSharding(self.mesh, spec))
+        sh = NamedSharding(self.mesh, spec)
+        if jax.process_count() > 1:
+            # Multi-host: every process holds the full frames (same video),
+            # but each feeds only the chunk rows its devices own — no
+            # cross-host data movement (parallel/distributed.py:87-98).
+            from ..parallel.distributed import process_batch_bounds
+            lo, hi = process_batch_bounds(win.shape[0])
+            return jax.make_array_from_process_local_data(
+                sh, np.ascontiguousarray(win[lo:hi]), win.shape)
+        return jax.device_put(win, sh)
+
+    def _fetch(self, arr):
+        """device -> host numpy. Multi-host: stitch outputs are global
+        jax.Arrays whose shards live on other hosts' devices, so replicate
+        via an in-graph allgather first (every host returns the full
+        array, keeping the public infer_video_depth contract SPMD)."""
+        if self.mesh is None or jax.process_count() == 1:
+            return np.asarray(arr)
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
     def _window_fn(self, net_hw, src_hw, dtype):
         """jitted: windows_u8 [C,32,H,W,3] -> depth [C,32,H,W] fp32."""
@@ -199,15 +218,17 @@ class VideoDepthPipeline:
         prev_feats = None
         pending = []  # device->host copies in flight, drained one step late
 
+        multihost = self.mesh is not None and jax.process_count() > 1
+
         def defer(arr, shape):
-            if hasattr(arr, "copy_to_host_async"):
+            if not multihost and hasattr(arr, "copy_to_host_async"):
                 arr.copy_to_host_async()
             pending.append((arr, shape))
 
         def drain(force=False):
             while pending and (force or len(pending) > 1):
                 arr, shape = pending.pop(0)
-                outputs.append(np.asarray(arr).reshape(shape))
+                outputs.append(self._fetch(arr).reshape(shape))
 
         import contextlib
         span = self.timer.span if self.timer else (lambda _: contextlib.nullcontext())
@@ -243,7 +264,7 @@ class VideoDepthPipeline:
                 last_tail = tails[r - 1]
             drain()  # fetch the previous step's frames while this one runs
         drain(force=True)
-        outputs.append(np.asarray(last_tail))
+        outputs.append(self._fetch(last_tail))
         depths_full = np.concatenate(outputs, axis=0)
         return depths_full[:n], target_fps
 
