@@ -48,6 +48,8 @@ def main():
     parser.add_argument("--no_pallas", action="store_true")
     parser.add_argument("--no_e2e", action="store_true",
                         help="skip the end-to-end pipeline measurement")
+    parser.add_argument("--no_steady", action="store_true",
+                        help="skip the steady-state cached-window metric")
     parser.add_argument("--e2e_frames", type=int, default=76,
                         help="host-RAM frames for the e2e mode (3 windows)")
     args = parser.parse_args()
@@ -123,6 +125,63 @@ def main():
         "chain": chain,
         "fps_per_chip": round(1000.0 / ms_per_frame, 2),
     }
+
+    if not args.no_steady and args.batch == 1 and args.frames == 32:
+        # Steady-state long-video regime: each new window re-uses the
+        # previous window's encoder features at the KEYFRAMES positions
+        # (bit-identical, pipeline/infer.py::_cached_fns), so the device
+        # work per window is encode(FRAME_STEP new frames) + head — and a
+        # window emits FRAME_STEP new video frames. The reference recomputes
+        # the full 32-frame forward every window (video_depth.py:195-209),
+        # so its steady-state cost is window_time / FRAME_STEP; this metric
+        # is the cache's apples-to-apples counterpart.
+        from video_depth_anything_tpu.config import (FRAME_STEP, INFER_LEN,
+                                                     KEYFRAMES)
+        from video_depth_anything_tpu.models import dinov2, video_depth
+
+        ph = pw = args.size // cfg.vit.patch_size
+        kf = jnp.asarray(KEYFRAMES)
+
+        @jax.jit
+        def encode_full(p, xx):
+            feats = dinov2.get_intermediate_layers(
+                p["pretrained"], xx, cfg.vit, cfg.intermediate_layer_idx,
+                use_pallas=use_pallas)
+            return [list(f) for f in feats]
+
+        @jax.jit
+        def steady(p, feats_prev, new_x):
+            def body(i, carry):
+                feats_prev, acc = carry
+                nf = dinov2.get_intermediate_layers(
+                    p["pretrained"], new_x + (acc * 1e-12).astype(new_x.dtype),
+                    cfg.vit, cfg.intermediate_layer_idx,
+                    use_pallas=use_pallas)
+                feats = jax.tree.map(
+                    lambda a, n: jnp.concatenate([a[kf], n], axis=0),
+                    feats_prev, [list(f) for f in nf])
+                depth = video_depth._head_forward(
+                    p["head"], [tuple(f) for f in feats], ph, pw, 1,
+                    INFER_LEN, cfg)
+                return feats, jnp.sum(depth).astype(jnp.float32)
+
+            _, acc = jax.lax.fori_loop(0, chain, body,
+                                       (feats_prev, jnp.float32(0.0)))
+            return acc
+
+        feats0 = encode_full(params_fwd, x[0])
+        new_x = x[0, :FRAME_STEP]
+        float(steady(params_fwd, feats0, new_x))
+        for _ in range(args.warmup):
+            float(steady(params_fwd, feats0, new_x))
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            float(steady(params_fwd, feats0, new_x))
+            ts.append(time.perf_counter() - t0)
+        steady_ms = sorted(ts)[len(ts) // 2] * 1000.0 / (FRAME_STEP * chain)
+        record["steady_state_ms_per_frame"] = round(steady_ms, 3)
+        record["steady_state_fps_per_chip"] = round(1000.0 / steady_ms, 2)
 
     if not args.no_e2e:
         # End-to-end regime the reference's 14 ms/frame actually competes
