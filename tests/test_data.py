@@ -23,7 +23,7 @@ def _make_vkitti(root, scenes=("Scene01", "Scene20"), frames=6, hw=(40, 60)):
                 img = rng.integers(0, 255, (*hw, 3), np.uint8)
                 Image.fromarray(img).save(os.path.join(rgb_dir, f"rgb_{i:05d}.jpg"))
                 depth_cm = rng.integers(200, 60000, hw).astype(np.uint16)
-                Image.fromarray(depth_cm, mode="I;16").save(
+                Image.fromarray(depth_cm).save(
                     os.path.join(dep_dir, f"depth_{i:05d}.png"))
             with open(os.path.join(txt_dir, "intrinsic.txt"), "w") as f:
                 f.write("frame cameraID K[0,0] K[1,1] K[0,2] K[1,2]\n")

@@ -5,7 +5,7 @@ S=1370 tokens, 16 heads x dh 64 (vitl). Our kernel works on the model's
 native packed [B, S, H*dh] layout; the stock kernel
 (jax.experimental.pallas.ops.tpu.flash_attention) wants [B, H, S, dh]
 and sequence lengths that tile its blocks, so the honest comparison
-includes the pad-to-1408 + head split/merge transposes the model would
+includes the pad-to-1536 (512-multiple blocks) + head split/merge transposes the model would
 have to pay to call it.
 
 Run: python tools/bench_stock_flash.py [b] [s] [heads] [dh]

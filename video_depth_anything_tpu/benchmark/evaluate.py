@@ -88,7 +88,7 @@ def align_disparity_lstsq(pred_disp: np.ndarray, gt_depth: np.ndarray,
     pred = pred_disp[valid_mask].reshape(-1, 1).astype(np.float64)
     a = np.concatenate([pred, np.ones_like(pred)], axis=-1)
     x = np.linalg.lstsq(a, gt_disp, rcond=None)[0]
-    return float(x[0]), float(x[1])
+    return x[0].item(), x[1].item()
 
 
 def eval_sequence(pred_disps: np.ndarray, gt_depths: np.ndarray,

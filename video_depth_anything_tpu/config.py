@@ -101,8 +101,14 @@ class ModelConfig:
 
 
 MODEL_CONFIGS = {
+    # vits/vitl rows mirror reference run.py:40-43. The reference ships all
+    # four DINOv2 factories (dinov2.py:353-397) but only tables vits/vitl;
+    # vitb/vitg rows follow the Depth-Anything-V2 conventions its encoder
+    # family uses (no released VDA checkpoints for them yet).
     "vits": ModelConfig(encoder="vits", features=64, out_channels=(48, 96, 192, 384)),
+    "vitb": ModelConfig(encoder="vitb", features=128, out_channels=(96, 192, 384, 768)),
     "vitl": ModelConfig(encoder="vitl", features=256, out_channels=(256, 512, 1024, 1024)),
+    "vitg": ModelConfig(encoder="vitg", features=384, out_channels=(1536, 1536, 1536, 1536)),
 }
 
 

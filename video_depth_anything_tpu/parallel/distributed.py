@@ -76,9 +76,20 @@ def global_mesh(n_model: int = 1) -> Mesh:
 
 
 def process_batch_bounds(global_batch: int) -> tuple[int, int]:
-    """[start, stop) rows of the global batch owned by this process."""
+    """[start, stop) rows of the global batch owned by this process.
+
+    Requires the data-parallel batch to tile the process count (each
+    process feeds the contiguous rows its devices own — jax.devices()
+    orders devices process-contiguously along the mesh data axis). A
+    model-parallel-heavy mesh whose data axis is smaller than the process
+    count cannot satisfy this; shrink n_model or grow the batch."""
     n = jax.process_count()
-    assert global_batch % n == 0, (global_batch, n)
+    if global_batch % n != 0:
+        raise ValueError(
+            f"multi-host feeding needs the global batch (= mesh data-axis "
+            f"chunk, {global_batch}) to be a multiple of the process count "
+            f"({n}); use a mesh with data >= {n} processes x its per-chip "
+            f"batch, or run single-host")
     per = global_batch // n
     p = jax.process_index()
     return p * per, (p + 1) * per

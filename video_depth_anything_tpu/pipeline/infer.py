@@ -232,24 +232,44 @@ class VideoDepthPipeline:
 
         import contextlib
         span = self.timer.span if self.timer else (lambda _: contextlib.nullcontext())
+
+        chunks = []  # (sel, r) per chunk, precomputed for upload prefetch
         for start in range(0, k_total, c):
             sel = idx[start:start + c]
             r = sel.shape[0]
             if r < c:  # pad chunk to the compiled shape; extra results dropped
                 sel = np.concatenate([sel, np.repeat(sel[-1:], c - r, axis=0)])
+            chunks.append((sel, r))
+
+        def upload(i):
+            """Host->device copy for chunk i (cached path: only the
+            FRAME_STEP new frames; window 0: all 32). Issued one chunk
+            AHEAD, right after the previous chunk's compute dispatches, so
+            the blocking host-side copy overlaps device compute — on
+            transfer-bound hosts this pins e2e at the transfer floor
+            instead of floor + compute (the reference's per-window loop,
+            video_depth.py:200-215, serializes the two)."""
+            sel_i = chunks[i][0]
+            if use_cache:
+                rows = sel_i[0] if i == 0 else sel_i[0, OVERLAP:]
+                return jnp.asarray(frames[rows])
+            return self._put_windows(frames[sel_i])
+
+        next_dev = upload(0) if chunks else None
+        for i, (sel, r) in enumerate(chunks):
             with span("window_forward"):
                 if use_cache:
                     if prev_feats is None:
-                        prev_feats = encode(params, jnp.asarray(frames[sel[0]]))
+                        prev_feats = encode(params, next_dev)
                     else:
-                        new = encode(params,
-                                     jnp.asarray(frames[sel[0, OVERLAP:]]))
-                        prev_feats = reuse(prev_feats, new)
+                        prev_feats = reuse(prev_feats,
+                                           encode(params, next_dev))
                     depths = head_fn(params, prev_feats)  # [1, 32, H, W]
                 else:
+                    depths = fwd(params, next_dev)        # [C,32,H,W]
+                if i + 1 < len(chunks):
                     with span("gather_upload"):
-                        win = self._put_windows(frames[sel])  # [C,32,H,W,3]
-                    depths = fwd(params, win)                 # [C,32,H,W]
+                        next_dev = upload(i + 1)
                 if self.timer:
                     jax.block_until_ready(depths)
             if carry is None:
@@ -326,13 +346,20 @@ class VideoDepthPipeline:
         # Window 0 emits 24 frames; safe to yield un-trimmed only while the
         # stream is still going (n may be < emitted at EOF).
         k_total = windows.num_windows(n) if ended else None
-        out = clip(emit, n if ended else emitted + OVERLAP + 14)
-        if len(out):
-            yield out
-        k = 1
-        while k_total is None or k < k_total:
-            new = []
+
+        def gather_next():
+            """Gather + upload the next window's FRAME_STEP source frames.
+
+            Called one window AHEAD (right after the current window's
+            compute dispatches) so the decode wait and the blocking
+            host->device copy overlap device compute — same double-buffer
+            scheme as infer_video_depth's upload(). Updates the stream
+            bookkeeping (n/ended/k_total); using the post-EOF n for an
+            earlier window's clip() is safe (mid-stream windows emit
+            strictly fewer than n - emitted frames)."""
+            nonlocal n, ended, k_total, window
             if not ended:
+                new = []
                 for f in it:
                     new.append(np.asarray(f))
                     if len(new) == FRAME_STEP:
@@ -341,8 +368,6 @@ class VideoDepthPipeline:
                     ended = True
                     n += len(new)
                     k_total = windows.num_windows(n)
-                    if k >= k_total:
-                        break
                     last = new[-1] if new else window[-1]
                     new = new + [last] * (FRAME_STEP - len(new))
                 else:
@@ -350,8 +375,21 @@ class VideoDepthPipeline:
             else:
                 new = [window[-1]] * FRAME_STEP
             window = new
-            feats = reuse(feats, encode(params, jnp.asarray(np.stack(new))))
+            return jnp.asarray(np.stack(new))
+
+        # Prefetch window 1 while window 0's compute runs (clip() blocks on
+        # the download of window 0's depths).
+        nxt = gather_next() if (k_total is None or 1 < k_total) else None
+        out = clip(emit, n if ended else emitted + OVERLAP + 14)
+        if len(out):
+            yield out
+        k = 1
+        while k_total is None or k < k_total:
+            feats = reuse(feats, encode(params, nxt))
             depths = head_fn(params, feats)
+            # Prefetch window k+1 while the device computes window k.
+            nxt = gather_next() if (k_total is None or k + 1 < k_total) \
+                else None
             carry, emits, _ = scan(carry, depths)
             out = clip(emits[0], n if ended else emitted + FRAME_STEP)
             if len(out):

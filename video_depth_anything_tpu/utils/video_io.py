@@ -137,7 +137,13 @@ def stream_video_frames(video_path: str, process_length: int = -1,
         finally:
             abandoned.set()
 
-    return frames(), fps, out_hw
+    gen = frames()
+    # A generator that is created but never iterated skips the finally on
+    # close(); a finalizer on the generator object itself still unblocks
+    # the decoder thread when the caller drops it un-started.
+    import weakref
+    weakref.finalize(gen, abandoned.set)
+    return gen, fps, out_hw
 
 
 def _inferno_lut() -> np.ndarray:
@@ -208,6 +214,11 @@ class IncrementalVideoWriter:
             w.append_data(first_frame)
             self._w, self._kind = w, "imageio"
         except Exception:
+            try:  # don't leak the ffmpeg subprocess of a half-opened writer
+                if "w" in locals():
+                    w.close()
+            except Exception:
+                pass
             assert _CV2, "OpenCV required for video encode"
             h, w = first_frame.shape[:2]
             self._w = cv2.VideoWriter(self.path,
