@@ -45,6 +45,9 @@ def main():
     parser.add_argument("--int8", action="store_true",
                         help="int8 encoder matmuls (w8a8, ops/quant.py); "
                              "reported as a separate metric name")
+    parser.add_argument("--no_int8", action="store_true",
+                        help="skip the int8 second-metric measurement "
+                             "folded into the default (bf16) run")
     parser.add_argument("--no_pallas", action="store_true")
     parser.add_argument("--no_e2e", action="store_true",
                         help="skip the end-to-end pipeline measurement")
@@ -72,7 +75,7 @@ def main():
         np.random.default_rng(0).standard_normal(
             (args.batch, args.frames, args.size, args.size, 3)), dtype)
 
-    if args.int8:
+    def make_int8_params():
         from video_depth_anything_tpu.models.video_depth import (
             calibrate_stats, quantize_model)
 
@@ -81,9 +84,9 @@ def main():
             return calibrate_stats(p, xx, cfg, use_pallas=use_pallas)
 
         stats = jax.device_get(calib(params, x))
-        params_fwd = quantize_model(params, stats, cfg)
-    else:
-        params_fwd = params
+        return quantize_model(params, stats, cfg)
+
+    params_fwd = make_int8_params() if args.int8 else params
 
     chain = max(args.chain, 1)
 
@@ -125,6 +128,27 @@ def main():
         "chain": chain,
         "fps_per_chip": round(1000.0 / ms_per_frame, 2),
     }
+
+    if not args.int8 and not args.no_int8 and not args.fp32:
+        # Second headline: the int8 fast mode, measured in the same run so
+        # BENCH_r{N}.json always carries both numbers. Same timed fn, the
+        # quantized param tree (new pytree structure) triggers a fresh
+        # compile.
+        params_q = make_int8_params()
+        float(fn(params_q, x))
+        for _ in range(args.warmup):
+            float(fn(params_q, x))
+        t8 = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            float(fn(params_q, x))
+            t8.append(time.perf_counter() - t0)
+        ms8 = (sorted(t8)[len(t8) // 2] * 1000.0
+               / (args.frames * args.batch * chain))
+        record[f"{args.encoder}_ms_per_frame_{args.size}_int8"] = round(ms8, 3)
+        record["int8_vs_baseline"] = round(baseline / ms8, 3)
+        record["int8_fps_per_chip"] = round(1000.0 / ms8, 2)
+        del params_q
 
     if not args.no_steady and args.batch == 1 and args.frames == 32:
         # Steady-state long-video regime: each new window re-uses the

@@ -29,7 +29,9 @@ def main():
                         help="infer in float32 (default bfloat16 on TPU)")
     parser.add_argument("--int8", action="store_true",
                         help="int8-quantized encoder matmuls (w8a8, "
-                             "calibrated on the first window; ops/quant.py)")
+                             "calibrated on the first window; ops/quant.py). "
+                             "Scales persist as <checkpoint>.int8calib.npz "
+                             "so calibration runs once per checkpoint")
     parser.add_argument("--grayscale", action="store_true",
                         help="no color palette in the depth video")
     parser.add_argument("--save_npz", action="store_true")
@@ -43,12 +45,13 @@ def main():
                         help="random weights (smoke testing without a checkpoint)")
     parser.add_argument("--windows_per_batch", type=int, default=1)
     parser.add_argument("--streaming", action="store_true",
-                        help="streaming decode: a background thread decodes "
-                             "frames overlapping device compute, and the "
-                             "_src.mp4 writer encodes them incrementally "
-                             "(decoded frames never accumulate; depth maps "
-                             "still do — the vis/npz writers need the full "
-                             "video for global normalization)")
+                        help="bounded-memory mode: a background thread "
+                             "decodes frames overlapping device compute, "
+                             "_src.mp4 encodes incrementally, and depth "
+                             "chunks spill to a disk spool with exact "
+                             "running min/max — host RAM stays O(window) "
+                             "frames + O(chunk) depths; outputs are "
+                             "bit-identical to the batch path")
     args = parser.parse_args()
 
     import jax
@@ -72,14 +75,17 @@ def main():
         sys.exit("no checkpoint found (use --checkpoint or --random_init); "
                  "expected ./checkpoints/video_depth_anything_{vits,vitl}.{npz,pth}")
 
+    # int8 calibration scales persist next to the checkpoint so the
+    # calibration forward runs once per checkpoint, not once per session.
+    calib_path = (ckpt + ".int8calib.npz") if (args.int8 and ckpt) else None
     pipe = VideoDepthPipeline(cfg, params,
-                              quant="int8" if args.int8 else None)
+                              quant="int8" if args.int8 else None,
+                              calib_path=calib_path)
     os.makedirs(args.output_dir, exist_ok=True)
     stem = os.path.splitext(os.path.basename(args.input_video))[0]
     if args.streaming:
         from video_depth_anything_tpu.utils.video_io import (
-            IncrementalVideoWriter, stream_video_frames)
-        import numpy as np
+            DepthSpool, IncrementalVideoWriter, stream_video_frames)
         it, fps, hw = stream_video_frames(
             args.input_video, args.max_len, args.target_fps, args.max_res)
         # _src.mp4 is written as frames stream by — they never accumulate.
@@ -94,13 +100,24 @@ def main():
 
         print(f"streaming {hw[0]}x{hw[1]} @ {fps:.2f} fps, "
               f"backend={jax.default_backend()}")
-        chunks = list(pipe.infer_video_depth_streaming(
-            tee(it), input_size=args.input_size, fp32=args.fp32))
-        if not chunks:  # container opened but no frame ever decoded
+        # Depth chunks spill to a raw file with exact running min/max, so
+        # host RAM stays O(window) frames + O(chunk) depths end to end; the
+        # writers below stream from the read-only memmap (bit-identical
+        # outputs — same global normalization).
+        spool = DepthSpool(os.path.join(args.output_dir,
+                                        stem + "_depths.spool.f32"))
+        for chunk in pipe.infer_video_depth_streaming(
+                tee(it), input_size=args.input_size, fp32=args.fp32):
+            spool.append(chunk)
+        if spool.count == 0:  # container opened but no frame ever decoded
+            spool.cleanup()
             raise ValueError(f"no frames decoded from {args.input_video}")
-        depths = np.concatenate(chunks, axis=0)
+        depths = spool.finish()
+        depth_range = (spool.min, spool.max)
         frames = None
     else:
+        spool = None
+        depth_range = None
         frames, target_fps = read_video_frames(
             args.input_video, args.max_len, args.target_fps, args.max_res)
         print(f"{frames.shape[0]} frames @ {target_fps:.2f} fps, "
@@ -110,26 +127,46 @@ def main():
             frames, target_fps, input_size=args.input_size, fp32=args.fp32,
             windows_per_batch=args.windows_per_batch)
 
-    if frames is not None:  # streaming already wrote _src.mp4 incrementally
-        save_video(frames, os.path.join(args.output_dir, stem + "_src.mp4"),
-                   fps=fps)
-    save_video(depths, os.path.join(args.output_dir, stem + "_vis.mp4"), fps=fps,
-               is_depths=True, grayscale=args.grayscale)
-    print(f"wrote {args.output_dir}/{stem}_src.mp4 and _vis.mp4")
+    import numpy as np
+    try:
+        if frames is not None:  # streaming already wrote _src.mp4 incrementally
+            save_video(frames, os.path.join(args.output_dir, stem + "_src.mp4"),
+                       fps=fps)
+        vis_path = os.path.join(args.output_dir, stem + "_vis.mp4")
+        if depth_range is not None:  # stream blocks from the spool memmap
+            from video_depth_anything_tpu.utils.video_io import (
+                save_depth_video_streamed)
+            save_depth_video_streamed(depths, vis_path, fps, depth_range,
+                                      grayscale=args.grayscale)
+        else:
+            save_video(depths, vis_path, fps=fps, is_depths=True,
+                       grayscale=args.grayscale)
+        print(f"wrote {args.output_dir}/{stem}_src.mp4 and _vis.mp4")
 
-    if args.save_npz:
-        import numpy as np
-        np.savez_compressed(os.path.join(args.output_dir, stem + "_depths.npz"),
-                            depths=depths)
-        print(f"wrote {stem}_depths.npz")
-    if args.save_exr:
-        from video_depth_anything_tpu.utils.exr import write_exr_batch
-        exr_dir = os.path.join(args.output_dir, stem + "_depths_exr")
-        os.makedirs(exr_dir, exist_ok=True)
-        paths = [os.path.join(exr_dir, f"frame_{i:05d}.exr")
-                 for i in range(len(depths))]
-        write_exr_batch(paths, depths, compression="zip")
-        print(f"wrote {len(depths)} EXR frames to {exr_dir}")
+        if args.save_npz:
+            # np.savez streams a contiguous memmap through the zip writer in
+            # ~16 MB buffers — no full materialization in streaming mode.
+            np.savez_compressed(
+                os.path.join(args.output_dir, stem + "_depths.npz"),
+                depths=depths)
+            print(f"wrote {stem}_depths.npz")
+        if args.save_exr:
+            from video_depth_anything_tpu.utils.exr import write_exr_batch
+            exr_dir = os.path.join(args.output_dir, stem + "_depths_exr")
+            os.makedirs(exr_dir, exist_ok=True)
+            paths = [os.path.join(exr_dir, f"frame_{i:05d}.exr")
+                     for i in range(len(depths))]
+            # Chunked: write_exr_batch materializes its input (native call),
+            # so hand it O(chunk) slices when depths is the spool memmap.
+            step = 64 if depth_range is not None else len(depths)
+            for i in range(0, len(depths), max(step, 1)):
+                write_exr_batch(paths[i:i + step], depths[i:i + step],
+                                compression="zip")
+            print(f"wrote {len(depths)} EXR frames to {exr_dir}")
+    finally:
+        if spool is not None:
+            del depths  # release the memmap before removing its file
+            spool.cleanup()
 
 
 if __name__ == "__main__":

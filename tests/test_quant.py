@@ -115,6 +115,92 @@ def test_temporal_module_int8_close_to_fp32():
     assert set(stats["blocks"]["0"]) == {"attn", "ff_proj", "ff_g"}
 
 
+def test_int8_sharded_matches_single_device():
+    """int8 composes with the mesh (the round-2 fence is gone): quantized
+    trees re-shard with the w_i8/ws rules and sharded == single-device."""
+    from video_depth_anything_tpu.config import ModelConfig
+    from video_depth_anything_tpu.parallel import make_mesh
+
+    cfg = ModelConfig(
+        encoder="_tinymeshq",
+        vit_override=ViTConfig(embed_dim=64, depth=2, num_heads=2),
+        features=32,
+        out_channels=(32, 32, 32, 32), num_frames=32, taps=(0, 0, 1, 1))
+    params = init_params(0, cfg)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(70, 42, 56, 3), dtype=np.uint8)
+
+    single = VideoDepthPipeline(cfg, params, use_pallas=False, quant="int8")
+    a, _ = single.infer_video_depth(frames, input_size=28, fp32=True,
+                                    cache_keyframe_features=False)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    sharded = VideoDepthPipeline(cfg, params, mesh=mesh, use_pallas=False,
+                                 quant="int8")
+    b, _ = sharded.infer_video_depth(frames, input_size=28, fp32=True,
+                                     windows_per_batch=4)
+    assert jax.device_count() == 8
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_quantized_leaf_sharding_rules():
+    """w_i8 shards like the float w it replaces; ws drops w's contraction
+    axis (-2) from that spec (parallel/mesh.py::param_sharding_rules)."""
+    from jax.sharding import PartitionSpec as P
+
+    from video_depth_anything_tpu.parallel.mesh import param_sharding_rules
+
+    assert param_sharding_rules("pretrained/blocks/attn/q/w_i8") == \
+        P(None, None, "model")
+    assert param_sharding_rules("pretrained/blocks/attn/q/ws") == \
+        P(None, "model")
+    assert param_sharding_rules("pretrained/blocks/attn/proj/w_i8") == \
+        P(None, "model", None)
+    assert param_sharding_rules("pretrained/blocks/attn/proj/ws") == \
+        P(None, None)
+    assert param_sharding_rules("head/motion_modules/0/x/to_q/w_i8") == \
+        P(None, "model")
+    assert param_sharding_rules("head/motion_modules/0/x/to_q/ws") == \
+        P("model")
+    assert param_sharding_rules("head/motion_modules/0/x/to_out/0/ws") == \
+        P(None)
+    # activation scales replicate
+    assert param_sharding_rules("pretrained/blocks/qs/qkv") == P()
+
+
+def test_calib_scales_roundtrip(tmp_path):
+    """Calibration absmaxes persist to calib_path on first use and a fresh
+    pipeline loads them (skipping the calibration forward) with identical
+    output."""
+    cfg = get_model_config("vits")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    frames = synthetic_video()
+    path = str(tmp_path / "ckpt.int8calib.npz")
+
+    p1 = VideoDepthPipeline(cfg, params, use_pallas=False, quant="int8",
+                            calib_path=path)
+    d1, _ = p1.infer_video_depth(frames, input_size=56)
+    import os
+    assert os.path.exists(path)
+
+    p2 = VideoDepthPipeline(cfg, params, use_pallas=False, quant="int8",
+                            calib_path=path)
+    # guard: if p2 ran its own calibration instead of loading, this monkey
+    # trap would trip (calibrate_stats must not be called again)
+    import video_depth_anything_tpu.models.video_depth as vd
+
+    def boom(*a, **k):
+        raise AssertionError("calibration re-ran despite persisted scales")
+
+    orig = vd.calibrate_stats
+    vd.calibrate_stats = boom
+    try:
+        d2, _ = p2.infer_video_depth(frames, input_size=56)
+    finally:
+        vd.calibrate_stats = orig
+    np.testing.assert_array_equal(d1, d2)
+
+
 def test_pipeline_int8_within_budget():
     cfg = get_model_config("vits")
     params = init_params(jax.random.PRNGKey(0), cfg)

@@ -123,3 +123,68 @@ def test_streaming_int8_matches_batch_int8():
                                                     input_size=28))
     got = np.concatenate(chunks, axis=0)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_depth_spool_equivalence_and_bounded_memory(tmp_path):
+    """DepthSpool output == concatenate(chunks) with the exact global range,
+    and spooling a video far larger than one chunk keeps host allocations
+    O(chunk) (tracemalloc peak), making --streaming bounded end to end."""
+    import tracemalloc
+
+    from video_depth_anything_tpu.utils.video_io import (DepthSpool,
+                                                         depth_visualization)
+
+    rng = np.random.default_rng(0)
+    chunks = [rng.standard_normal((10, 64, 64)).astype(np.float32)
+              for _ in range(100)]  # 16 MB total, 160 KB per chunk
+    ref = np.concatenate(chunks, axis=0)
+
+    spool = DepthSpool(str(tmp_path / "d.spool.f32"))
+    tracemalloc.start()
+    for c in chunks:
+        spool.append(c)
+    mm = spool.finish()
+    # touch the memmap the way the writers do (block reads)
+    s = 0.0
+    for i in range(0, len(mm), 16):
+        s += float(np.asarray(mm[i:i + 16]).sum())
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+
+    assert peak < 4 * 1024 * 1024, f"peak {peak} bytes — not bounded"
+    assert mm.shape == ref.shape
+    np.testing.assert_array_equal(np.asarray(mm[::17]), ref[::17])
+    assert (spool.min, spool.max) == (float(ref.min()), float(ref.max()))
+    # vis normalization from the running range == from the full array
+    np.testing.assert_array_equal(
+        depth_visualization(ref[:4], value_range=(spool.min, spool.max)),
+        depth_visualization(np.concatenate([ref[:4], ref.reshape(1000, 64, 64)]),
+                            )[:4])
+    del mm
+    spool.cleanup()
+    import os
+    assert not os.path.exists(spool.path)
+
+
+def test_save_depth_video_streamed_matches_save_video(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from video_depth_anything_tpu.utils.video_io import (
+        DepthSpool, read_video_frames, save_depth_video_streamed, save_video)
+
+    rng = np.random.default_rng(1)
+    depths = rng.standard_normal((9, 32, 48)).astype(np.float32)
+    a, b = str(tmp_path / "a.mp4"), str(tmp_path / "b.mp4")
+    save_video(depths, a, fps=10, is_depths=True)
+
+    spool = DepthSpool(str(tmp_path / "d.f32"))
+    for i in range(0, 9, 4):
+        spool.append(depths[i:i + 4])
+    mm = spool.finish()
+    save_depth_video_streamed(mm, b, 10, (spool.min, spool.max),
+                              chunk_frames=4)
+    fa, _ = read_video_frames(a)
+    fb, _ = read_video_frames(b)
+    assert fa.shape == fb.shape
+    assert np.mean(np.abs(fa.astype(np.int16) - fb.astype(np.int16))) < 2.0
+    del mm
+    spool.cleanup()

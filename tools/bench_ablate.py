@@ -26,6 +26,7 @@ from video_depth_anything_tpu.ops import nn as vnn
 ENC = next((a for a in sys.argv[1:] if not a.startswith("-")), "vitl")
 HEAD_MODE = "--head" in sys.argv  # sub-stage ablation of output_head only
 TM_MODE = "--temporal" in sys.argv  # sub-stage ablation of temporal modules
+ENC_MODE = "--encoder" in sys.argv  # sub-stage ablation of the ViT encoder
 T = 32
 SIZE = 518
 CHAIN = 3
@@ -72,6 +73,69 @@ def main():
     print(f"{ENC} {SIZE}^2 x{T} ablation (ms/window, chain={CHAIN}):",
           flush=True)
     t_full = run("full forward")
+
+    if ENC_MODE:
+        # Sub-stage ablation of the DINOv2 encoder: stub ONE sub-op across
+        # all blocks (in the scanned _block_step body), read its in-graph
+        # cost as the delta vs the full forward. Stubs keep 1e-12-scaled
+        # data deps so upstream work can't fold away.
+        from video_depth_anything_tpu.models import dinov2
+        from video_depth_anything_tpu.ops import pallas_attention as pa
+
+        deltas = {}
+
+        real_flash = pa.flash_attention_packed
+        pa.flash_attention_packed = (
+            lambda q, k, v, **kw: v + (q + k) * jnp.asarray(1e-12, q.dtype))
+        deltas["attention math"] = t_full - run("- attn kernel")
+        pa.flash_attention_packed = real_flash
+
+        # kernel vs plain-XLA attention (head-split einsums + layout copies)
+        real_blockstep = dinov2._block_step
+
+        def xla_attn_step(carry, bp, **kw):
+            kw["use_pallas"] = False
+            return real_blockstep(carry, bp, **kw)
+
+        dinov2._block_step = xla_attn_step
+        deltas["kernel -> xla attn"] = run("- attn=xla einsum") - t_full
+        dinov2._block_step = real_blockstep
+
+        real_ffn = dinov2._ffn
+        dinov2._ffn = lambda bp, y, ffn_layer: y * jnp.asarray(1e-12, y.dtype)
+        deltas["mlp (fc1+gelu+fc2)"] = t_full - run("- mlp")
+        dinov2._ffn = real_ffn
+
+        real_ln = vnn.layer_norm
+        vnn.layer_norm = lambda p, x, eps=1e-6: x * jnp.asarray(1e-12, x.dtype)
+        deltas["layer_norms (all)"] = t_full - run("- layer_norm")
+        vnn.layer_norm = real_ln
+
+        # whole transformer stack (keeps patch embed + pos interp)
+        real_gil = dinov2.get_intermediate_layers
+
+        # Run zero blocks: embed tokens, then reuse that embedding (scaled,
+        # final-norm'd) for every tap — keeps patch embed + pos interp +
+        # the downstream head at full cost.
+        def stub_gil(params, x, cfg2, taps, use_pallas=None):
+            y = dinov2._embed_tokens(params, x, cfg2)
+            y = vnn.layer_norm(params["norm"], y, eps=1e-6)
+            return [(y[:, 1:, :] * jnp.asarray(1e-12 * (i + 1), y.dtype),
+                     y[:, 0, :]) for i in range(len(taps))]
+
+        dinov2.get_intermediate_layers = stub_gil
+        deltas["all ViT blocks"] = t_full - run("- whole ViT stack")
+        dinov2.get_intermediate_layers = real_gil
+
+        print("encoder sub-stage deltas (ms/window):", flush=True)
+        for k, v in deltas.items():
+            print(f"  {k:<20s}: {v:8.2f}")
+        n_blk = cfg.vit.depth
+        gemm = (deltas["all ViT blocks"] - deltas["attention math"]
+                - deltas["mlp (fc1+gelu+fc2)"] - deltas["layer_norms (all)"])
+        print(f"  residual qkv/proj GEMMs + adds: {gemm:8.2f} "
+              f"({n_blk} blocks)")
+        return
 
     if TM_MODE:
         # Sub-stage ablation of the temporal modules: stub one sub-op

@@ -60,11 +60,10 @@ def validate_one(path, encoder=None, video=None, input_size=None,
     try:
         cfg = get_model_config(encoder, metric=metric)
     except KeyError:
-        # infer_encoder can name encoders the model zoo has no config for
-        # (vitb/vitg have DINOv2 factories but no released VDA checkpoint,
-        # run.py:40-43) — report instead of killing the whole scan.
+        from video_depth_anything_tpu.config import MODEL_CONFIGS
         report["error"] = (f"no model config for encoder '{encoder}' "
-                           f"(supported: vits, vitl); pass --encoder")
+                           f"(supported: {', '.join(MODEL_CONFIGS)}); "
+                           f"pass --encoder")
         return report
     report["encoder"], report["metric"] = encoder, metric
 

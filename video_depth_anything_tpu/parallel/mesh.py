@@ -55,6 +55,15 @@ _RULES = [
 
 
 def param_sharding_rules(path: str) -> P:
+    # int8-quantized sites (ops/quant.py): w_i8 shards like the float w it
+    # replaces; its per-out-channel scale ws = absmax over w's contraction
+    # axis (-2), so ws's spec is w's spec with that axis dropped. Activation
+    # scales ("qs" leaves) are tiny and fall through to replicated.
+    if path.endswith("/w_i8"):
+        return param_sharding_rules(path[:-3])  # ".../w"
+    if path.endswith("/ws"):
+        spec = tuple(param_sharding_rules(path[:-1]))  # ".../w"
+        return P(*(spec[:-2] + spec[-1:])) if len(spec) >= 2 else P()
     for pattern, spec in _RULES:
         if re.search(pattern, path):
             return spec

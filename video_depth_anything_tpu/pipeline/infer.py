@@ -31,15 +31,20 @@ from . import preprocess, stitch, windows
 class VideoDepthPipeline:
     def __init__(self, cfg: ModelConfig, params, mesh=None,
                  use_pallas: Optional[bool] = None,
-                 quant: Optional[str] = None):
+                 quant: Optional[str] = None,
+                 calib_path: Optional[str] = None):
         assert quant in (None, "int8"), quant
-        if quant is not None and mesh is not None:
-            raise NotImplementedError("int8 mode is single-device for now")
         self.cfg = cfg
         self.params = params
         self.mesh = mesh
         self.use_pallas = use_pallas
         self.quant = quant
+        # int8 calibration-scale persistence: if calib_path exists, its
+        # activation absmaxes are loaded and the calibration forward is
+        # skipped; otherwise the first inference calibrates and writes it.
+        # Scales are tiny (a few KB) and checkpoint-specific — run.py keys
+        # the file to the checkpoint (<ckpt>.int8calib.npz).
+        self.calib_path = calib_path
         self._cast_cache: dict = {}
         self._forward_jit = {}
         self.timer = None  # set by infer_video_depth(collect_timings=True)
@@ -57,28 +62,55 @@ class VideoDepthPipeline:
             self._cast_cache[key] = cast
         return self._cast_cache[key]
 
+    def _calib_stats(self, params, calib_win, net_hw, dtype):
+        """Activation absmaxes for int8: load from calib_path if present,
+        else run the one-window calibration forward (and persist them)."""
+        import os
+
+        from ..utils import params_io
+
+        if self.calib_path and os.path.exists(self.calib_path):
+            return jax.device_get(params_io.load_params(self.calib_path))
+        cfg = self.cfg
+        use_pallas = self.use_pallas
+
+        @jax.jit
+        def calib(p, win_u8):
+            x = preprocess.preprocess_frames(win_u8, net_hw, dtype=dtype)
+            return video_depth.calibrate_stats(p, x[None], cfg,
+                                               use_pallas=use_pallas)
+
+        win = np.ascontiguousarray(calib_win)
+        if self.mesh is not None and jax.process_count() > 1:
+            # Multi-host: build a replicated global array (every process
+            # holds the same video, parallel/distributed.py contract).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            win_dev = jax.make_array_from_process_local_data(
+                NamedSharding(self.mesh, P()), win, win.shape)
+        else:
+            win_dev = jnp.asarray(win)
+        stats = jax.device_get(calib(params, win_dev))
+        if self.calib_path:
+            params_io.save_params(self.calib_path, stats)
+        return stats
+
     def _quantized_params(self, params, calib_win, net_hw, dtype):
         """int8-quantize the encoder + temporal modules using the first
-        window as calibration.
+        window as calibration (or persisted scales, see _calib_stats).
 
         One extra (bf16) forward collects activation absmaxes
         (models/video_depth.py::calibrate_stats); the quantized tree is
-        cached per (net_hw, dtype). ops/quant.py has the numerics.
+        cached per (net_hw, dtype) and, under a mesh, re-sharded with the
+        w_i8/ws rules of parallel/mesh.py. ops/quant.py has the numerics.
         """
         key = ("int8", net_hw, jnp.dtype(dtype).name)
         if key not in self._cast_cache:
-            cfg = self.cfg
-            use_pallas = self.use_pallas
-
-            @jax.jit
-            def calib(p, win_u8):
-                x = preprocess.preprocess_frames(win_u8, net_hw, dtype=dtype)
-                return video_depth.calibrate_stats(p, x[None], cfg,
-                                                   use_pallas=use_pallas)
-
-            stats = jax.device_get(calib(params, jnp.asarray(calib_win)))
-            self._cast_cache[key] = video_depth.quantize_model(params, stats,
-                                                               cfg)
+            stats = self._calib_stats(params, calib_win, net_hw, dtype)
+            q = video_depth.quantize_model(params, stats, self.cfg)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_params
+                q = shard_params(q, self.mesh)
+            self._cast_cache[key] = q
         return self._cast_cache[key]
 
     def _put_windows(self, win):

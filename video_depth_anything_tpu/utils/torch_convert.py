@@ -140,6 +140,99 @@ def jax_tree(tree):
     return jnp.asarray(np.asarray(tree, dtype=np.float32))
 
 
+def export_torch_state_dict(params, cfg: ModelConfig) -> Dict[str, np.ndarray]:
+    """JAX param tree -> reference-format state_dict (numpy values).
+
+    Exact inverse of convert_torch_state_dict: encoder blocks unstack from
+    the leading scan axis back to `blocks.{i}.*`, q/k/v re-fuse into
+    `attn.qkv.{weight,bias}`, linears transpose back to [out, in], convs to
+    OIHW (resize_layers 0/1 to IOHW), norm scale/bias to weight/bias, and
+    BatchNorm's `num_batches_tracked` (a counter the functional tree has no
+    use for) regenerates as zeros so the reference's strict=True load
+    contract (run.py:46) holds. Round-trip pinned by
+    tests/test_params_io.py; the torch-module strict-load contract by
+    tests/test_validate_checkpoint.py.
+    """
+    depth = cfg.vit.depth
+    sd: Dict[str, np.ndarray] = {}
+
+    def emit(key: str, leaf: str, v: np.ndarray):
+        if leaf == "w":
+            if v.ndim == 4:
+                sd[key[: -len("w")] + "weight"] = v.transpose(3, 2, 0, 1)
+            else:
+                sd[key[: -len("w")] + "weight"] = np.ascontiguousarray(v.T)
+        elif leaf == "b":
+            sd[key[: -len("b")] + "bias"] = v
+        elif leaf == "scale":
+            sd[key[: -len("scale")] + "weight"] = v
+        elif leaf == "mean":
+            base = key[: -len("mean")]
+            sd[base + "running_mean"] = v
+            sd[base + "num_batches_tracked"] = np.zeros((), np.int64)
+        elif leaf == "var":
+            sd[key[: -len("var")] + "running_var"] = v
+        else:  # bias (norms), gamma, pe, cls_token, pos_embed, mask_token...
+            sd[key] = v
+
+    def walk(node, prefix: str):
+        for k, v in node.items():
+            key = f"{prefix}.{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                walk(v, key)
+            else:
+                if k in ("w_i8", "ws") or "/qs/" in f"/{key.replace('.', '/')}/":
+                    raise ValueError(
+                        f"cannot export int8-quantized leaf {key}; export "
+                        "the float tree")
+                emit(key, k, np.asarray(v, np.float32)
+                     if np.asarray(v).dtype != np.int64 else np.asarray(v))
+
+    def unstack_blocks(stacked, i):
+        out = {}
+        for k, v in stacked.items():
+            out[k] = unstack_blocks(v, i) if isinstance(v, dict) else \
+                np.asarray(v)[i]
+        return out
+
+    for top, sub in params.items():
+        if top == "pretrained":
+            for k, v in sub.items():
+                if k == "blocks":
+                    for i in range(depth):
+                        blk = unstack_blocks(v, i)
+                        # re-fuse q/k/v -> qkv ([3D, D] weight, [3D] bias)
+                        attn = blk["attn"]
+                        sd[f"pretrained.blocks.{i}.attn.qkv.weight"] = \
+                            np.ascontiguousarray(np.concatenate(
+                                [attn[n]["w"].T for n in "qkv"], axis=0))
+                        if "b" in attn["q"]:
+                            sd[f"pretrained.blocks.{i}.attn.qkv.bias"] = \
+                                np.concatenate([attn[n]["b"] for n in "qkv"])
+                        blk["attn"] = {n: p for n, p in attn.items()
+                                       if n not in ("q", "k", "v")}
+                        walk(blk, f"pretrained.blocks.{i}")
+                else:
+                    if isinstance(v, dict):
+                        walk(v, f"pretrained.{k}")
+                    else:
+                        emit(f"pretrained.{k}", k, np.asarray(v, np.float32))
+        else:
+            walk({top: sub}, "")
+    return sd
+
+
+def save_torch_checkpoint(path: str, params, cfg: ModelConfig) -> None:
+    """Write a reference-loadable .pth from a JAX tree (host-side torch)."""
+    import torch
+
+    # np.array (not ascontiguousarray): always copies, so torch never sees
+    # a non-writable JAX-exported buffer (from_numpy warns on those).
+    sd = {k: torch.from_numpy(np.array(v))
+          for k, v in export_torch_state_dict(params, cfg).items()}
+    torch.save(sd, path)
+
+
 def load_torch_checkpoint(path: str, cfg: ModelConfig) -> dict:
     """Load a reference .pth state_dict and convert (host-side torch CPU)."""
     import torch

@@ -151,9 +151,17 @@ def _inferno_lut() -> np.ndarray:
     return np.asarray(matplotlib.colormaps["inferno"].colors)  # [256, 3] float
 
 
-def depth_visualization(depths: np.ndarray, grayscale: bool = False) -> np.ndarray:
-    """Global min-max normalized depth video -> uint8 RGB (dc_utils.py:74-83)."""
-    d_min, d_max = float(depths.min()), float(depths.max())
+def depth_visualization(depths: np.ndarray, grayscale: bool = False,
+                        value_range=None) -> np.ndarray:
+    """Global min-max normalized depth video -> uint8 RGB (dc_utils.py:74-83).
+
+    value_range: optional (min, max) computed elsewhere (e.g. DepthSpool's
+    exact running range in streaming mode) — per-element identical to
+    letting this function scan `depths` itself."""
+    if value_range is not None:
+        d_min, d_max = float(value_range[0]), float(value_range[1])
+    else:
+        d_min, d_max = float(depths.min()), float(depths.max())
     denom = (d_max - d_min) or 1.0
     norm = ((depths - d_min) / denom * 255).astype(np.uint8)
     if grayscale:
@@ -271,3 +279,71 @@ def save_video(frames: np.ndarray, output_path: str, fps: float = 10,
     for f in frames:
         writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
     writer.release()
+
+
+class DepthSpool:
+    """File-backed spill buffer making streaming inference bounded-memory
+    end to end.
+
+    The vis/npz writers need GLOBAL min-max normalization (dc_utils.py:74-83
+    contract), so a naive streaming driver still accumulates every depth
+    frame in host RAM until EOF. DepthSpool instead appends each chunk to a
+    raw float32 file (O(chunk) resident) while accumulating the EXACT
+    running min/max, then finish() maps the file back read-only as an
+    [N, H, W] np.memmap — the writers stream pages from disk and the depth
+    video is never resident. Per-element output is identical to the
+    accumulate-then-normalize path (same min/max, same elements).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._f = open(path, "wb")
+        self.count = 0
+        self.hw = None
+        self.min = np.inf
+        self.max = -np.inf
+
+    def append(self, chunk: np.ndarray) -> None:
+        chunk = np.ascontiguousarray(chunk, dtype=np.float32)
+        assert chunk.ndim == 3, chunk.shape
+        if self.hw is None:
+            self.hw = chunk.shape[1:]
+        assert chunk.shape[1:] == self.hw, (chunk.shape, self.hw)
+        if chunk.size:
+            self.min = min(self.min, float(chunk.min()))
+            self.max = max(self.max, float(chunk.max()))
+        chunk.tofile(self._f)
+        self.count += chunk.shape[0]
+
+    def finish(self) -> np.ndarray:
+        """Close the write side and return the read-only [N,H,W] memmap."""
+        self._f.close()
+        if self.count == 0:
+            return np.zeros((0, 0, 0), np.float32)
+        return np.memmap(self.path, dtype=np.float32, mode="r",
+                         shape=(self.count, *self.hw))
+
+    def cleanup(self) -> None:
+        """Remove the spill file (call after all writers are done)."""
+        import os
+        try:
+            if not self._f.closed:
+                self._f.close()
+            os.remove(self.path)
+        except OSError:
+            pass
+
+
+def save_depth_video_streamed(depths, output_path: str, fps: float,
+                              value_range, grayscale: bool = False,
+                              chunk_frames: int = 64) -> None:
+    """save_video(is_depths=True) for a memmap/large array: encodes through
+    IncrementalVideoWriter in chunk_frames blocks so only O(chunk) frames
+    are resident. value_range = (global min, global max); with DepthSpool's
+    exact range the encoded frames are identical to save_video's."""
+    with IncrementalVideoWriter(output_path, fps) as w:
+        for i in range(0, len(depths), chunk_frames):
+            block = np.asarray(depths[i:i + chunk_frames])
+            for f in depth_visualization(block, grayscale,
+                                         value_range=value_range):
+                w.append(f)
