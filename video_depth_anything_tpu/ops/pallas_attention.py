@@ -194,11 +194,7 @@ def flash_attention_qkv_fused(qkv, *, num_heads: int, block_q: int = 4096,
         out_specs=pl.BlockSpec((1, block_q, 2 * dh),
                                lambda bi, hi, qi: (bi, qi, hi),
                                memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * num_heads * q_pad * s_pad * dh,
-            bytes_accessed=2 * b * q_pad * c3 * qkv.dtype.itemsize,
-            transcendentals=b * num_heads * q_pad * s_pad,
-        ),
+        # No cost_estimate: see flash_attention_packed.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
@@ -259,11 +255,11 @@ def flash_attention_packed(q, k, v, *, num_heads: int, scale: float,
         out_specs=pl.BlockSpec((1, block_q, 2 * dh),
                                lambda bi, hi, qi: (bi, qi, hi),
                                memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * num_heads * q_pad * s_pad * dh,
-            bytes_accessed=4 * b * q_pad * c * q.dtype.itemsize,
-            transcendentals=b * num_heads * q_pad * s_pad,
-        ),
+        # Deliberately NO cost_estimate: passing one measured the kernel
+        # 3.3% SLOWER in a same-session A/B (3.655 -> 3.535 ms/call at the
+        # vitl shape, tools/bench_kernel_ab.py) — the estimate's huge
+        # transcendental count skews XLA's latency-hiding scheduler for no
+        # benefit (numerics identical either way).
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
@@ -369,11 +365,7 @@ def flash_attention_packed_qk8(q_i8, k_i8, v, scales, *, num_heads: int,
         out_specs=pl.BlockSpec((1, block_q, 2 * dh),
                                lambda bi, hi, qi: (bi, qi, hi),
                                memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * num_heads * q_pad * s_pad * dh,
-            bytes_accessed=b * q_pad * cdim * (2 + 2 * 1 + 2),
-            transcendentals=b * num_heads * q_pad * s_pad,
-        ),
+        # No cost_estimate: see flash_attention_packed.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
@@ -464,12 +456,7 @@ def flash_attention(q, k, v, *, scale: float, block_q: int = 4096,
         out_specs=pl.BlockSpec((1, 1, block_q, d),
                                lambda bi, hi, qi: (bi, hi, qi, 0),
                                memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * q_pad * s_pad * d,
-            bytes_accessed=(b * h * (q_pad + 2 * s_pad) * d * q.dtype.itemsize
-                            + b * h * q_pad * d * q.dtype.itemsize),
-            transcendentals=b * h * q_pad * s_pad,
-        ),
+        # No cost_estimate: see flash_attention_packed.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
