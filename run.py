@@ -20,7 +20,10 @@ def main():
     parser.add_argument("--input_size", type=int, default=518)
     parser.add_argument("--max_res", type=int, default=1280)
     parser.add_argument("--encoder", type=str, default="vitl",
-                        choices=["vits", "vitl"])
+                        choices=["vits", "vitb", "vitl", "vitg"],
+                        help="vits/vitl have released VDA checkpoints; "
+                             "vitb/vitg follow the DINOv2 factory surface "
+                             "(reference dinov2.py:353-397)")
     parser.add_argument("--max_len", type=int, default=-1,
                         help="maximum number of input frames, -1 = no limit")
     parser.add_argument("--target_fps", type=int, default=-1,
@@ -52,6 +55,13 @@ def main():
                              "running min/max — host RAM stays O(window) "
                              "frames + O(chunk) depths; outputs are "
                              "bit-identical to the batch path")
+    parser.add_argument("--decode_backend", type=str, default=None,
+                        choices=["cv2", "ffmpeg"],
+                        help="video decode backend (default cv2, or "
+                             "VDA_DECODE_BACKEND). ffmpeg = decord-class "
+                             "raw-pipe subprocess decode; max_res output "
+                             "identical, full-res yuv->rgb may differ by "
+                             "+-1/255 on a few pixels")
     args = parser.parse_args()
 
     import jax
@@ -87,7 +97,8 @@ def main():
         from video_depth_anything_tpu.utils.video_io import (
             DepthSpool, IncrementalVideoWriter, stream_video_frames)
         it, fps, hw = stream_video_frames(
-            args.input_video, args.max_len, args.target_fps, args.max_res)
+            args.input_video, args.max_len, args.target_fps, args.max_res,
+            decode_backend=args.decode_backend)
         # _src.mp4 is written as frames stream by — they never accumulate.
         src_writer = IncrementalVideoWriter(
             os.path.join(args.output_dir, stem + "_src.mp4"), fps)
@@ -119,7 +130,8 @@ def main():
         spool = None
         depth_range = None
         frames, target_fps = read_video_frames(
-            args.input_video, args.max_len, args.target_fps, args.max_res)
+            args.input_video, args.max_len, args.target_fps, args.max_res,
+            decode_backend=args.decode_backend)
         print(f"{frames.shape[0]} frames @ {target_fps:.2f} fps, "
               f"{frames.shape[1]}x{frames.shape[2]}, "
               f"backend={jax.default_backend()}")

@@ -2,8 +2,10 @@
 
 Capability parity with reference utils/dc_utils.py:19-86 (decord/imageio
 paths): fps-stride resampling, max_res downscale-to-even, max_len
-truncation, inferno/grayscale depth visualization. This environment has no
-decord/ffmpeg bindings, so decode/encode go through OpenCV.
+truncation, inferno/grayscale depth visualization. Decode backends: OpenCV
+(default — its yuv->rgb rounding defines the golden outputs) and a
+decord-class ffmpeg raw-pipe subprocess (decode_backend="ffmpeg" /
+VDA_DECODE_BACKEND=ffmpeg; see _ffmpeg_decode_iter, tools/bench_decode.py).
 """
 from __future__ import annotations
 
@@ -49,9 +51,89 @@ def _decode_frame(frame, scale_hw):
     return frame
 
 
+def _ffmpeg_decode_iter(video_path: str, target_fps: float, max_res: int):
+    """decord-class decode backend: ffmpeg demux+decode+stride-select in a
+    separate PROCESS, raw RGB24 over a pipe -> (iterator, fps, out_hw).
+
+    The reference leans on decord for decode throughput
+    (dc_utils.py:19-69); cv2.VideoCapture decodes in-process on the
+    pipeline's own core and converts BGR->RGB per frame in Python. This
+    backend moves decode + fps-stride dropping + RGB conversion into an
+    ffmpeg subprocess (true decode/compute overlap even without threads
+    to spare), keeping only the reference-exact cv2.INTER_AREA resize on
+    the consumer side so max_res output stays bit-identical to the cv2
+    backend. Stride select uses the same round(orig_fps/target) integer
+    stride as _open_video. Select with tools/bench_decode.py; opt in via
+    decode_backend="ffmpeg" or VDA_DECODE_BACKEND=ffmpeg (cv2 stays the
+    default: its yuv->rgb rounding defines the repo's golden outputs, and
+    ffmpeg's differs by +-1/255 on a few pixels)."""
+    import imageio_ffmpeg
+
+    # Probe stream geometry/fps first (cheap: header only, count=0 frames).
+    probe = imageio_ffmpeg.read_frames(video_path, pix_fmt="rgb24")
+    meta = next(probe)
+    probe.close()
+    w, h = meta["size"]
+    original_fps = meta.get("fps") or 30.0
+    scale_hw = None
+    if max_res > 0 and max(h, w) > max_res:
+        scale = max_res / max(h, w)
+        scale_hw = (_ensure_even(round(h * scale)), _ensure_even(round(w * scale)))
+    fps = original_fps if target_fps <= 0 else target_fps
+    stride = max(round(original_fps / fps), 1)
+
+    out_params = []
+    if stride > 1:
+        # display-order frame index n % stride == 0: the cv2 path's exact
+        # keep rule (dc_utils.py:58-62)
+        out_params += ["-vf", f"select=not(mod(n\\,{stride}))",
+                       "-fps_mode", "passthrough"]
+    reader = imageio_ffmpeg.read_frames(video_path, pix_fmt="rgb24",
+                                        output_params=out_params)
+    next(reader)  # meta
+
+    def frames():
+        try:
+            for raw in reader:
+                f = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+                if scale_hw is not None:
+                    f = cv2.resize(f, (scale_hw[1], scale_hw[0]),
+                                   interpolation=cv2.INTER_AREA)
+                yield f
+        finally:
+            reader.close()
+
+    return frames(), fps, (scale_hw or (h, w))
+
+
+def _resolve_backend(decode_backend):
+    import os
+    backend = decode_backend or os.environ.get("VDA_DECODE_BACKEND", "cv2")
+    if backend not in ("cv2", "ffmpeg"):
+        raise ValueError(f"unknown decode backend {backend!r} "
+                         "(expected 'cv2' or 'ffmpeg')")
+    if backend == "ffmpeg":
+        try:
+            import imageio_ffmpeg  # noqa: F401
+        except ImportError:  # pragma: no cover
+            backend = "cv2"  # same fallback direction as save side
+    return backend
+
+
 def read_video_frames(video_path: str, process_length: int = -1,
-                      target_fps: float = -1, max_res: int = -1):
+                      target_fps: float = -1, max_res: int = -1,
+                      decode_backend: str | None = None):
     """-> (frames [N,H,W,3] uint8 RGB, fps). Mirrors dc_utils.py:22-69."""
+    if _resolve_backend(decode_backend) == "ffmpeg":
+        it, fps, _ = _ffmpeg_decode_iter(video_path, target_fps, max_res)
+        frames = []
+        for f in it:
+            frames.append(f)
+            if process_length > 0 and len(frames) >= process_length:
+                break
+        if not frames:
+            raise ValueError(f"no frames decoded from {video_path}")
+        return np.stack(frames, axis=0), fps
     cap, fps, stride, scale_hw, _ = _open_video(video_path, target_fps, max_res)
     frames = []
     count = 0
@@ -72,7 +154,8 @@ def read_video_frames(video_path: str, process_length: int = -1,
 
 def stream_video_frames(video_path: str, process_length: int = -1,
                         target_fps: float = -1, max_res: int = -1,
-                        prefetch: int = 64):
+                        prefetch: int = 64,
+                        decode_backend: str | None = None):
     """Streaming decode: -> (frame iterator, fps, (h, w)).
 
     Same fps-stride/max_res/max_len semantics as read_video_frames, but a
@@ -80,12 +163,20 @@ def stream_video_frames(video_path: str, process_length: int = -1,
     device compute (pipeline.infer_video_depth_streaming) and host memory
     stays O(prefetch) instead of O(video). SURVEY §7 "hard parts": host
     decode throughput must overlap device compute for long 1280-res videos.
+    With decode_backend="ffmpeg" the thread drains the subprocess pipe of
+    _ffmpeg_decode_iter instead of running cv2 decode in-process.
     """
     import queue
     import threading
 
-    cap, fps, stride, scale_hw, out_hw = _open_video(video_path, target_fps,
-                                                     max_res)
+    if _resolve_backend(decode_backend) == "ffmpeg":
+        src_it, fps, out_hw = _ffmpeg_decode_iter(video_path, target_fps,
+                                                  max_res)
+        cap = None
+    else:
+        cap, fps, stride, scale_hw, out_hw = _open_video(video_path,
+                                                         target_fps, max_res)
+        src_it = None
     q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
     stop = object()
     abandoned = threading.Event()  # consumer gone: unblock q.put, release cap
@@ -101,6 +192,15 @@ def stream_video_frames(video_path: str, process_length: int = -1,
 
     def worker():
         try:
+            if src_it is not None:  # ffmpeg backend: stride/scale done there
+                emitted = 0
+                for frame in src_it:
+                    if abandoned.is_set() or not put(frame):
+                        break
+                    emitted += 1
+                    if process_length > 0 and emitted >= process_length:
+                        break
+                return
             count, emitted = 0, 0
             while not abandoned.is_set():
                 ok, frame = cap.read()
@@ -116,7 +216,10 @@ def stream_video_frames(video_path: str, process_length: int = -1,
         except Exception as e:  # surface decode errors on the consumer side
             put(e)
         finally:
-            cap.release()
+            if src_it is not None:
+                src_it.close()  # terminates the ffmpeg subprocess
+            else:
+                cap.release()
             put(stop)
 
     threading.Thread(target=worker, daemon=True).start()
