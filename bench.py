@@ -55,6 +55,9 @@ def main():
                         help="skip the steady-state cached-window metric")
     parser.add_argument("--e2e_frames", type=int, default=76,
                         help="host-RAM frames for the e2e mode (3 windows)")
+    parser.add_argument("--transfer_fp16", action="store_true",
+                        help="e2e mode: fp16 depth transport (pipeline "
+                             "transfer_fp16; floor measurement matches)")
     args = parser.parse_args()
 
     import jax
@@ -128,6 +131,50 @@ def main():
         "chain": chain,
         "fps_per_chip": round(1000.0 / ms_per_frame, 2),
     }
+
+    if not args.no_e2e:
+        # End-to-end regime the reference's 14 ms/frame actually competes
+        # with (video_depth.py:166-254): frames in host RAM -> preprocess ->
+        # window forwards -> stitch -> depths in host RAM, keyframe cache on.
+        # Measured FIRST (before the int8/steady sections): running the
+        # int8 fold-in beforehand measured e2e 2.2x worse in the same
+        # process (135 vs 61 ms/frame, device-residue effect on this
+        # backend), while e2e-first leaves the later sections unaffected.
+        from video_depth_anything_tpu.pipeline import VideoDepthPipeline
+        frames = np.random.default_rng(1).integers(
+            0, 255, (args.e2e_frames, args.size, args.size, 3), np.uint8)
+        pipe = VideoDepthPipeline(cfg, params, use_pallas=use_pallas,
+                          quant="int8" if args.int8 else None,
+                          transfer_fp16=args.transfer_fp16)
+        kw = dict(input_size=args.size, fp32=args.fp32)
+        pipe.infer_video_depth(frames, **kw)  # compile
+        e2e = []
+        for _ in range(max(args.iters // 3, 2)):
+            t0 = time.perf_counter()
+            depths, _ = pipe.infer_video_depth(frames, **kw)
+            np.asarray(depths)
+            e2e.append(time.perf_counter() - t0)
+        e2e_ms = sorted(e2e)[len(e2e) // 2] * 1000.0 / args.e2e_frames
+        record["e2e_ms_per_frame"] = round(e2e_ms, 3)
+        record["e2e_frames"] = args.e2e_frames
+
+        # Host<->device transfer share of e2e, measured directly: on this
+        # tunneled dev TPU the PCIe path runs through an RPC bridge, so raw
+        # byte movement dominates e2e; on a real TPU host it is DMA (~GB/s)
+        # and e2e approaches the forward number.
+        tt = []
+        down_dt = jnp.float16 if args.transfer_fp16 else jnp.float32
+        for _ in range(3):
+            t0 = time.perf_counter()
+            dev = jnp.asarray(frames)
+            dev.block_until_ready()
+            back = np.asarray(jnp.zeros(
+                (args.e2e_frames, args.size, args.size), down_dt) + dev[..., 0].astype(down_dt))
+            del back
+            tt.append(time.perf_counter() - t0)
+        record["e2e_transfer_ms_per_frame"] = round(
+            sorted(tt)[len(tt) // 2] * 1000.0 / args.e2e_frames, 3)
+        del pipe, frames
 
     if not args.int8 and not args.no_int8 and not args.fp32:
         # Second headline: the int8 fast mode, measured in the same run so
@@ -206,43 +253,6 @@ def main():
         steady_ms = sorted(ts)[len(ts) // 2] * 1000.0 / (FRAME_STEP * chain)
         record["steady_state_ms_per_frame"] = round(steady_ms, 3)
         record["steady_state_fps_per_chip"] = round(1000.0 / steady_ms, 2)
-
-    if not args.no_e2e:
-        # End-to-end regime the reference's 14 ms/frame actually competes
-        # with (video_depth.py:166-254): frames in host RAM -> preprocess ->
-        # window forwards -> stitch -> depths in host RAM, keyframe cache on.
-        from video_depth_anything_tpu.pipeline import VideoDepthPipeline
-        frames = np.random.default_rng(1).integers(
-            0, 255, (args.e2e_frames, args.size, args.size, 3), np.uint8)
-        pipe = VideoDepthPipeline(cfg, params, use_pallas=use_pallas,
-                          quant="int8" if args.int8 else None)
-        kw = dict(input_size=args.size, fp32=args.fp32)
-        pipe.infer_video_depth(frames, **kw)  # compile
-        e2e = []
-        for _ in range(max(args.iters // 3, 2)):
-            t0 = time.perf_counter()
-            depths, _ = pipe.infer_video_depth(frames, **kw)
-            np.asarray(depths)
-            e2e.append(time.perf_counter() - t0)
-        e2e_ms = sorted(e2e)[len(e2e) // 2] * 1000.0 / args.e2e_frames
-        record["e2e_ms_per_frame"] = round(e2e_ms, 3)
-        record["e2e_frames"] = args.e2e_frames
-
-        # Host<->device transfer share of e2e, measured directly: on this
-        # tunneled dev TPU the PCIe path runs through an RPC bridge, so raw
-        # byte movement dominates e2e; on a real TPU host it is DMA (~GB/s)
-        # and e2e approaches the forward number.
-        tt = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            dev = jnp.asarray(frames)
-            dev.block_until_ready()
-            back = np.asarray(jnp.zeros(
-                (args.e2e_frames, args.size, args.size), jnp.float32) + dev[..., 0].astype(jnp.float32))
-            del back
-            tt.append(time.perf_counter() - t0)
-        record["e2e_transfer_ms_per_frame"] = round(
-            sorted(tt)[len(tt) // 2] * 1000.0 / args.e2e_frames, 3)
 
     print(json.dumps(record))
 

@@ -55,6 +55,12 @@ def main():
                              "running min/max — host RAM stays O(window) "
                              "frames + O(chunk) depths; outputs are "
                              "bit-identical to the batch path")
+    parser.add_argument("--transfer_fp16", action="store_true",
+                        help="half-precision depth TRANSPORT (not compute): "
+                             "stitched depths cross device->host as fp16 "
+                             "(half the download bytes / multi-host "
+                             "allgather); outputs are still fp32 with "
+                             "2^-11-relative readout rounding")
     parser.add_argument("--decode_backend", type=str, default=None,
                         choices=["cv2", "ffmpeg"],
                         help="video decode backend (default cv2, or "
@@ -90,7 +96,8 @@ def main():
     calib_path = (ckpt + ".int8calib.npz") if (args.int8 and ckpt) else None
     pipe = VideoDepthPipeline(cfg, params,
                               quant="int8" if args.int8 else None,
-                              calib_path=calib_path)
+                              calib_path=calib_path,
+                              transfer_fp16=args.transfer_fp16)
     os.makedirs(args.output_dir, exist_ok=True)
     stem = os.path.splitext(os.path.basename(args.input_video))[0]
     if args.streaming:

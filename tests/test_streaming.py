@@ -224,3 +224,22 @@ def test_ffmpeg_decode_backend_matches_cv2(tmp_path):
     got = np.stack([next(it), next(it)])
     it.close()
     np.testing.assert_array_equal(got, full[:2])
+
+
+def test_transfer_fp16_transport(pipe):
+    """Opt-in fp16 depth TRANSPORT: outputs stay fp32, match the fp32
+    transport within fp16 readout rounding (2^-11 relative), and the
+    streaming path is bit-identical to the batch path in the same mode."""
+    cfg, params = pipe.cfg, pipe.params
+    hp = VideoDepthPipeline(cfg, params, use_pallas=False,
+                            transfer_fp16=True)
+    frames = synthetic_video(n=50, hw=(42, 56))
+    ref, _ = pipe.infer_video_depth(frames, input_size=28)
+    got, _ = hp.infer_video_depth(frames, input_size=28)
+    assert got.dtype == np.float32 and got.shape == ref.shape
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() <= 2.0 ** -10 * scale
+
+    chunks = list(hp.infer_video_depth_streaming(iter(frames),
+                                                 input_size=28))
+    np.testing.assert_array_equal(np.concatenate(chunks, axis=0), got)

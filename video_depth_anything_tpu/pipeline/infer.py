@@ -32,13 +32,20 @@ class VideoDepthPipeline:
     def __init__(self, cfg: ModelConfig, params, mesh=None,
                  use_pallas: Optional[bool] = None,
                  quant: Optional[str] = None,
-                 calib_path: Optional[str] = None):
+                 calib_path: Optional[str] = None,
+                 transfer_fp16: bool = False):
         assert quant in (None, "int8"), quant
         self.cfg = cfg
         self.params = params
         self.mesh = mesh
         self.use_pallas = use_pallas
         self.quant = quant
+        # Opt-in half-precision depth TRANSPORT (not compute): stitched
+        # depths cross device->host as fp16, halving the dominant download
+        # bytes on transfer-bound hosts and the multi-host allgather;
+        # returned arrays are still fp32 (converted host-side). Off by
+        # default — the fp32 transport is the reference-parity contract.
+        self.transfer_fp16 = transfer_fp16
         # int8 calibration-scale persistence: if calib_path exists, its
         # activation absmaxes are loaded and the calibration forward is
         # skipped; otherwise the first inference calibrates and writes it.
@@ -242,7 +249,9 @@ class VideoDepthPipeline:
                                                       dtype)
         else:
             fwd = self._window_fn(net_hw, (src_h, src_w), dtype)
-        scan = partial(_stitch_chunk, metric=self.cfg.metric)
+        out_dtype = jnp.float16 if self.transfer_fp16 else None
+        scan = partial(_stitch_chunk, metric=self.cfg.metric,
+                       out_dtype=out_dtype)
 
         outputs = []
         carry = None
@@ -305,7 +314,8 @@ class VideoDepthPipeline:
                 if self.timer:
                     jax.block_until_ready(depths)
             if carry is None:
-                carry, emit0 = _stitch_first_jit(depths[0])
+                carry, emit0 = _stitch_first_jit(depths[0],
+                                                 out_dtype=out_dtype)
                 defer(emit0, (OVERLAP + 14, src_h, src_w))
                 last_tail = carry[2]
                 depths = depths[1:]
@@ -317,7 +327,8 @@ class VideoDepthPipeline:
             drain()  # fetch the previous step's frames while this one runs
         drain(force=True)
         outputs.append(self._fetch(last_tail))
-        depths_full = np.concatenate(outputs, axis=0)
+        depths_full = np.concatenate(
+            [np.asarray(o, np.float32) for o in outputs], axis=0)
         return depths_full[:n], target_fps
 
 
@@ -353,7 +364,9 @@ class VideoDepthPipeline:
         params = self._params_in(dtype)
         encode, head_fn, reuse = self._cached_fns(net_hw, (src_h, src_w),
                                                   dtype)
-        scan = partial(_stitch_chunk, metric=self.cfg.metric)
+        out_dtype = jnp.float16 if self.transfer_fp16 else None
+        scan = partial(_stitch_chunk, metric=self.cfg.metric,
+                       out_dtype=out_dtype)
 
         n = len(first)
         ended = n < INFER_LEN
@@ -366,14 +379,14 @@ class VideoDepthPipeline:
                                             dtype)
         feats = encode(params, jnp.asarray(np.stack(window)))
         depths = head_fn(params, feats)                 # [1, 32, H, W]
-        carry, emit = _stitch_first_jit(depths[0])
+        carry, emit = _stitch_first_jit(depths[0], out_dtype=out_dtype)
         emitted = 0
 
         def clip(arr, total_next):
             nonlocal emitted
             take = np.asarray(arr)[: max(0, total_next - emitted)]
             emitted += len(take)
-            return take
+            return np.asarray(take, np.float32)
 
         # Window 0 emits 24 frames; safe to yield un-trimmed only while the
         # stream is still going (n may be < emitted at EOF).
@@ -432,18 +445,32 @@ class VideoDepthPipeline:
             yield tail
 
 
-@jax.jit
-def _stitch_first_jit(depths0):
-    return stitch.stitch_first(depths0)
+@partial(jax.jit, static_argnames=("out_dtype",))
+def _stitch_first_jit(depths0, out_dtype=None):
+    carry, emit = stitch.stitch_first(depths0)
+    if out_dtype is not None:  # emitted copy only; the carry stays fp32
+        emit = emit.astype(out_dtype)
+    return carry, emit
 
 
-@partial(jax.jit, static_argnames=("metric",))
-def _stitch_chunk(carry, window_depths, metric: bool = False):
+@partial(jax.jit, static_argnames=("metric", "out_dtype"))
+def _stitch_chunk(carry, window_depths, metric: bool = False,
+                  out_dtype=None):
     """Scan emitting both the 22 finalized frames and each window's tail8
-    (the tail is needed for the final flush when the last chunk is padded)."""
+    (the tail is needed for the final flush when the last chunk is padded).
+
+    out_dtype (transfer_fp16 mode): the EMITTED arrays — the only ones that
+    cross device->host — are cast before leaving the device, halving the
+    download bytes (and the multi-host allgather). The scan carry stays
+    fp32, so window-to-window alignment is unchanged; only the final
+    per-pixel readout rounds (fp16: 2^-11 relative, far under the bf16
+    compute budget of tests/test_precision_budget.py)."""
     def step(cry, d):
         cry, emit = stitch.stitch_step(cry, d, metric=metric)
-        return cry, (emit, cry[2])
+        tail = cry[2]
+        if out_dtype is not None:
+            emit, tail = emit.astype(out_dtype), tail.astype(out_dtype)
+        return cry, (emit, tail)
 
     carry, (emits, tails) = jax.lax.scan(step, carry, window_depths)
     return carry, emits, tails
