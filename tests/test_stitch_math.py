@@ -71,3 +71,74 @@ def test_stitch_step_metric_identity():
     expect_fade = np.asarray(carry[2]) * (1 - w) + np.asarray(d1[2:10]) * w
     np.testing.assert_allclose(np.asarray(emit[:8]), expect_fade, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(emit[8:]), np.asarray(d1[10:24]), rtol=1e-6)
+
+
+def test_long_chain_stability_200_windows():
+    """SURVEY §7 hard part: alignment error must not compound across
+    hundreds of windows. 200 windows of a smooth depth field, each window
+    affine-perturbed (simulating per-window model gain/offset wobble), run
+    through the fp32 scan; a float64 oracle of the same recurrence is the
+    truth. The field is deliberately ILL-CONDITIONED (depth variance tiny
+    vs mean^2 — far-wall scenes look like this): here the centered-form
+    fp32 scan drifts 2e-7 relative at window 200 while the reference's raw
+    normal-equation form in fp32 drifts 1.7e-2 (measured) — this test is
+    what rules the raw form out."""
+    import jax
+
+    from video_depth_anything_tpu.config import (ALIGN_LEN, INFER_LEN,
+                                                 INTERP_LEN, KEYFRAMES,
+                                                 OVERLAP)
+
+    rng = np.random.default_rng(7)
+    h = w = 24
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = 80.0 + 0.2 * np.sin(xx / 5.0) + 0.15 * np.cos(yy / 7.0)
+
+    k_windows = 200
+    wins = []
+    for k in range(k_windows):
+        t0 = k * (INFER_LEN - OVERLAP)
+        ts = t0 + np.arange(INFER_LEN)[:, None, None] / 40.0
+        truth = base[None] * (1.0 + 0.002 * np.sin(ts))  # smooth video signal
+        g = 1.0 + 0.05 * rng.standard_normal()           # per-window gain
+        o = 0.5 * rng.standard_normal()                  # per-window offset
+        wins.append(truth * g + o)
+    wins = np.stack(wins)  # [K, 32, H, W] float64
+
+    # float64 oracle of the scan recurrence (same formulas as stitch.py)
+    def f64_scale_shift(p, t):
+        mp, mt = p.mean(), t.mean()
+        dp = p - mp
+        var_p = (dp * dp).mean()
+        if var_p <= 0:
+            return 1.0, 0.0
+        s = (dp * (t - mt)).mean() / var_p
+        return s, mt - s * mp
+
+    fade = _fade_weights().astype(np.float64)[:, None, None]
+    ref0, ref1 = wins[0, 0], wins[0, KEYFRAMES[1]]
+    tail = wins[0, -INTERP_LEN:]
+    oracle_last = None
+    for k in range(1, k_windows):
+        d = wins[k]
+        s, b = f64_scale_shift(np.stack([d[0], d[1]]), np.stack([ref0, ref1]))
+        al = np.maximum(d * s + b, 0.0)
+        faded = tail * (1.0 - fade) + al[ALIGN_LEN:OVERLAP] * fade
+        oracle_last = np.concatenate([faded, al[OVERLAP:]], axis=0)
+        ref1, tail = al[KEYFRAMES[1]], al[-INTERP_LEN:]
+
+    # fp32 jitted scan over the same windows
+    from video_depth_anything_tpu.pipeline.infer import (_stitch_chunk,
+                                                         _stitch_first_jit)
+    carry, _ = _stitch_first_jit(jnp.asarray(wins[0], jnp.float32))
+    carry, emits, _ = _stitch_chunk(carry, jnp.asarray(wins[1:], jnp.float32))
+    fp32_last_emit = np.asarray(emits[-1])     # last window's 22 frames
+    fp32_tail = np.asarray(carry[2])           # its tail8
+
+    scale = np.abs(oracle_last).max()
+    err_emit = np.abs(fp32_last_emit - oracle_last[:22]).max() / scale
+    err_tail = np.abs(fp32_tail - oracle_last[-INTERP_LEN:]).max() / scale
+    # centered form measures ~2e-7 here; the raw normal-equation form
+    # measures ~1.7e-2 — threshold sits 4 decades under the bad form
+    assert err_emit < 2e-6, err_emit
+    assert err_tail < 2e-6, err_tail
