@@ -8,6 +8,19 @@ sizes each chain so the MARGINAL compute between the two chain lengths is
 (T(c2)-T(c1))/(c2-c1) with medians over repeats.
 
 Run (real TPU): python tools/bench_mxu_geometry.py
+
+RESULTS (v5e, 2026-08-19, abs-sum epilogue version): dense bf16
+4096^3/2048^3 both 192 TF/s (97.5% of the 197 nominal peak — the harness
+is sound); int8 4096^3 325 TOP/s. Encoder-shaped (M=45056): qkv 193.8,
+mlp-up 191.1 TF/s — the ViT's big GEMMs run at ~98% of peak in isolation,
+so the encoder segment is at speed-of-light and there is no Pallas-GEMM
+headroom; mlp-dn (K=4096 reduction) 122.5 TF/s is the one emitter that
+lags. CAVEATS: a single "proj 939 TF/s" reading exceeded peak — chain
+medians can still catch a box-throttle edge; rerun when a shape reads
+>peak. The attention-shaped section (1408-row tiles, 4-13 us/call) is
+dispatch-overhead-bound under XLA and NOT an MXU-geometry measurement —
+use tools/bench_kernel_ab.py's in-kernel DCE-proof probes for that
+(those measured dh=64 at ~92% of dh=128 per-flop rate).
 """
 import sys
 import time
