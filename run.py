@@ -124,12 +124,17 @@ def main():
         # outputs — same global normalization).
         spool = DepthSpool(os.path.join(args.output_dir,
                                         stem + "_depths.spool.f32"))
-        for chunk in pipe.infer_video_depth_streaming(
-                tee(it), input_size=args.input_size, fp32=args.fp32):
-            spool.append(chunk)
-        if spool.count == 0:  # container opened but no frame ever decoded
+        try:
+            for chunk in pipe.infer_video_depth_streaming(
+                    tee(it), input_size=args.input_size, fp32=args.fp32):
+                spool.append(chunk)
+            if spool.count == 0:  # container opened, no frame ever decoded
+                raise ValueError(f"no frames decoded from {args.input_video}")
+        except BaseException:
+            # Don't leak a multi-GB spill file if inference dies mid-video
+            # (cleanup is idempotent; the finally below covers success).
             spool.cleanup()
-            raise ValueError(f"no frames decoded from {args.input_video}")
+            raise
         depths = spool.finish()
         depth_range = (spool.min, spool.max)
         frames = None

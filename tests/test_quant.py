@@ -201,6 +201,57 @@ def test_calib_scales_roundtrip(tmp_path):
     np.testing.assert_array_equal(d1, d2)
 
 
+def test_calib_scales_invalidated_on_geometry_change(tmp_path):
+    """A persisted calibration file from a different input_size (or a
+    legacy meta-less file) must NOT be reused: absmaxes from a smaller
+    resolution saturate quant_act's clip at a larger one. The pipeline
+    recalibrates and overwrites the side file."""
+    import warnings
+
+    cfg = get_model_config("vits")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    frames = synthetic_video()
+    path = str(tmp_path / "ckpt.int8calib.npz")
+
+    from video_depth_anything_tpu.pipeline import infer as infer_mod
+    from video_depth_anything_tpu.pipeline import preprocess
+
+    def net_hw(input_size):
+        h, w = frames.shape[1], frames.shape[2]
+        eff = preprocess.effective_input_size(h, w, input_size)
+        return preprocess.network_input_hw(h, w, eff)
+
+    hw56, hw70 = net_hw(56), net_hw(70)
+    assert hw56 != hw70  # the scenario under test: two distinct geometries
+
+    p1 = VideoDepthPipeline(cfg, params, use_pallas=False, quant="int8",
+                            calib_path=path)
+    p1.infer_video_depth(frames, input_size=56)
+
+    # Same geometry reloads silently; a different input_size or dtype must
+    # not match.
+    assert infer_mod._load_calib(path, hw56, jnp.bfloat16) is not None
+    assert infer_mod._load_calib(path, hw70, jnp.bfloat16) is None
+    assert infer_mod._load_calib(path, hw56, jnp.float32) is None
+
+    p2 = VideoDepthPipeline(cfg, params, use_pallas=False, quant="int8",
+                            calib_path=path)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        p2.infer_video_depth(frames, input_size=70)
+    assert any("recalibrating" in str(w.message) for w in rec)
+    # the side file now carries the new geometry
+    assert infer_mod._load_calib(path, hw70, jnp.bfloat16) is not None
+    assert infer_mod._load_calib(path, hw56, jnp.bfloat16) is None
+
+    # Legacy meta-less file (pre-meta format): treated as incompatible.
+    with np.load(path) as d:
+        legacy = {k: d[k] for k in d.files
+                  if not k.startswith("__calib_meta__")}
+    np.savez_compressed(path, **legacy)
+    assert infer_mod._load_calib(path, hw70, jnp.bfloat16) is None
+
+
 def test_pipeline_int8_within_budget():
     cfg = get_model_config("vits")
     params = init_params(jax.random.PRNGKey(0), cfg)

@@ -226,6 +226,27 @@ def test_ffmpeg_decode_backend_matches_cv2(tmp_path):
     np.testing.assert_array_equal(got, full[:2])
 
 
+def test_explicit_ffmpeg_backend_raises_when_unavailable(monkeypatch):
+    """An explicit decode_backend='ffmpeg' must fail loudly (not silently
+    decode in-process) when imageio-ffmpeg is missing; the env-var path
+    keeps the soft fallback but warns."""
+    import sys
+    import warnings
+
+    from video_depth_anything_tpu.utils.video_io import _resolve_backend
+
+    # Poison the import so the test is deterministic on hosts that DO have
+    # imageio-ffmpeg installed.
+    monkeypatch.setitem(sys.modules, "imageio_ffmpeg", None)
+    with pytest.raises(ImportError, match="imageio-ffmpeg"):
+        _resolve_backend("ffmpeg")
+    monkeypatch.setenv("VDA_DECODE_BACKEND", "ffmpeg")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert _resolve_backend(None) == "cv2"
+    assert any("falling back to cv2" in str(w.message) for w in rec)
+
+
 def test_transfer_fp16_transport(pipe):
     """Opt-in fp16 depth TRANSPORT: outputs stay fp32, match the fp32
     transport within fp16 readout rounding (2^-11 relative), and the

@@ -27,6 +27,37 @@ from ..models import dinov2, video_depth
 from ..ops.resize import resize_bilinear_align_corners
 from . import preprocess, stitch, windows
 
+# Reserved key prefix stamping calibration geometry into the int8 side file
+# (flatten_tree keys are model paths and never start with "__").
+_CALIB_META = "__calib_meta__"
+
+
+def _save_calib(path, stats, net_hw, dtype):
+    from ..utils.params_io import flatten_tree
+    np.savez_compressed(
+        path,
+        **{_CALIB_META + "/net_hw": np.asarray(net_hw, np.int64),
+           _CALIB_META + "/dtype": np.asarray(jnp.dtype(dtype).name)},
+        **flatten_tree(stats))
+
+
+def _load_calib(path, net_hw, dtype):
+    """Stats tree if the side file matches (net_hw, dtype), else None."""
+    from ..utils.params_io import unflatten_tree
+    with np.load(path) as data:
+        files = set(data.files)
+        meta_hw = (data[_CALIB_META + "/net_hw"]
+                   if _CALIB_META + "/net_hw" in files else None)
+        meta_dt = (data[_CALIB_META + "/dtype"]
+                   if _CALIB_META + "/dtype" in files else None)
+        if (meta_hw is None or tuple(meta_hw) != tuple(net_hw)
+                or meta_dt is None
+                or str(meta_dt) != jnp.dtype(dtype).name):
+            return None  # legacy (meta-less) or mismatched: recalibrate
+        flat = {k: np.asarray(data[k]) for k in data.files
+                if not k.startswith(_CALIB_META)}
+    return unflatten_tree(flat)
+
 
 class VideoDepthPipeline:
     def __init__(self, cfg: ModelConfig, params, mesh=None,
@@ -71,13 +102,23 @@ class VideoDepthPipeline:
 
     def _calib_stats(self, params, calib_win, net_hw, dtype):
         """Activation absmaxes for int8: load from calib_path if present,
-        else run the one-window calibration forward (and persist them)."""
+        else run the one-window calibration forward (and persist them).
+
+        The side file records the calibration geometry (net_hw, dtype) and
+        is only reused when it matches: absmaxes measured at one resolution
+        saturate quant_act's +-127 clip at a larger one, silently degrading
+        depth — a mismatched (or legacy meta-less) file triggers a fresh
+        calibration that overwrites it."""
         import os
 
-        from ..utils import params_io
-
         if self.calib_path and os.path.exists(self.calib_path):
-            return jax.device_get(params_io.load_params(self.calib_path))
+            stats = _load_calib(self.calib_path, net_hw, dtype)
+            if stats is not None:
+                return stats
+            import warnings
+            warnings.warn(
+                f"{self.calib_path} was calibrated for a different "
+                f"input_size/dtype; recalibrating for net_hw={net_hw}")
         cfg = self.cfg
         use_pallas = self.use_pallas
 
@@ -98,7 +139,7 @@ class VideoDepthPipeline:
             win_dev = jnp.asarray(win)
         stats = jax.device_get(calib(params, win_dev))
         if self.calib_path:
-            params_io.save_params(self.calib_path, stats)
+            _save_calib(self.calib_path, stats, net_hw, dtype)
         return stats
 
     def _quantized_params(self, params, calib_win, net_hw, dtype):
@@ -326,6 +367,11 @@ class VideoDepthPipeline:
                 last_tail = tails[r - 1]
             drain()  # fetch the previous step's frames while this one runs
         drain(force=True)
+        if out_dtype is not None and last_tail.dtype != out_dtype:
+            # Single-window videos: last_tail is the fp32 scan carry; round
+            # it like the multi-window tails so transfer_fp16 outputs don't
+            # depend on video length (and match the streaming path).
+            last_tail = last_tail.astype(out_dtype)
         outputs.append(self._fetch(last_tail))
         depths_full = np.concatenate(
             [np.asarray(o, np.float32) for o in outputs], axis=0)
@@ -440,7 +486,13 @@ class VideoDepthPipeline:
             if len(out):
                 yield out
             k += 1
-        tail = clip(carry[2], n)
+        final_tail = carry[2]
+        if out_dtype is not None:
+            # Match the batch path: every array crossing device->host under
+            # transfer_fp16 is fp16-rounded, keeping streaming==batch
+            # bit-parity (tests/test_streaming.py) with the flag on too.
+            final_tail = final_tail.astype(out_dtype)
+        tail = clip(final_tail, n)
         if len(tail):
             yield tail
 

@@ -188,17 +188,24 @@ def export_torch_state_dict(params, cfg: ModelConfig) -> Dict[str, np.ndarray]:
                 emit(key, k, np.asarray(v, np.float32)
                      if np.asarray(v).dtype != np.int64 else np.asarray(v))
 
+    def to_host(node):
+        # One device->host conversion per stacked leaf; unstack_blocks then
+        # takes numpy views, instead of re-downloading every full stacked
+        # encoder tensor once per block (depth x the encoder's bytes).
+        return {k: to_host(v) if isinstance(v, dict) else np.asarray(v)
+                for k, v in node.items()}
+
     def unstack_blocks(stacked, i):
         out = {}
         for k, v in stacked.items():
-            out[k] = unstack_blocks(v, i) if isinstance(v, dict) else \
-                np.asarray(v)[i]
+            out[k] = unstack_blocks(v, i) if isinstance(v, dict) else v[i]
         return out
 
     for top, sub in params.items():
         if top == "pretrained":
             for k, v in sub.items():
                 if k == "blocks":
+                    v = to_host(v)
                     for i in range(depth):
                         blk = unstack_blocks(v, i)
                         # re-fuse q/k/v -> qkv ([3D, D] weight, [3D] bias)

@@ -85,9 +85,11 @@ def _ffmpeg_decode_iter(video_path: str, target_fps: float, max_res: int):
     out_params = []
     if stride > 1:
         # display-order frame index n % stride == 0: the cv2 path's exact
-        # keep rule (dc_utils.py:58-62)
+        # keep rule (dc_utils.py:58-62). -vsync 0 (not -fps_mode, which only
+        # exists in ffmpeg >= 5.1) so the 4.x binaries bundled with older
+        # imageio-ffmpeg work; 5+ accepts -vsync as a deprecated alias.
         out_params += ["-vf", f"select=not(mod(n\\,{stride}))",
-                       "-fps_mode", "passthrough"]
+                       "-vsync", "0"]
     reader = imageio_ffmpeg.read_frames(video_path, pix_fmt="rgb24",
                                         output_params=out_params)
     next(reader)  # meta
@@ -115,8 +117,18 @@ def _resolve_backend(decode_backend):
     if backend == "ffmpeg":
         try:
             import imageio_ffmpeg  # noqa: F401
-        except ImportError:  # pragma: no cover
-            backend = "cv2"  # same fallback direction as save side
+        except ImportError:
+            if decode_backend == "ffmpeg":
+                # Explicit request (CLI --decode_backend ffmpeg): silently
+                # decoding in-process instead would invalidate any perf A/B
+                # the user is running — fail loudly.
+                raise ImportError(
+                    "decode_backend='ffmpeg' requires imageio-ffmpeg, which "
+                    "is not installed; omit the flag to use cv2") from None
+            import warnings
+            warnings.warn("VDA_DECODE_BACKEND=ffmpeg but imageio-ffmpeg is "
+                          "not installed; falling back to cv2")
+            backend = "cv2"
     return backend
 
 
