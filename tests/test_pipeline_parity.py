@@ -112,3 +112,27 @@ def test_keyframe_feature_cache_exact(setup):
     b, _ = pipe.infer_video_depth(frames, input_size=INPUT_SIZE, fp32=True,
                                   cache_keyframe_features=False)
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_keyframe_feature_cache_exact_batched(setup):
+    """The cache composes with windows_per_batch > 1 (dedup-encode +
+    gather, pipeline/infer.py::_batched_cached_fns): same outputs as both
+    cache-off batched and the sequential cached path (VERDICT r3 item 5)."""
+    tm, cfg, params, frames = setup
+    pipe = VideoDepthPipeline(cfg, params, use_pallas=False)
+    off, _ = pipe.infer_video_depth(frames, input_size=INPUT_SIZE, fp32=True,
+                                    windows_per_batch=2,
+                                    cache_keyframe_features=False)
+    on, _ = pipe.infer_video_depth(frames, input_size=INPUT_SIZE, fp32=True,
+                                   windows_per_batch=2,
+                                   cache_keyframe_features=True)
+    np.testing.assert_allclose(on, off, rtol=1e-6, atol=1e-6)
+    seq, _ = pipe.infer_video_depth(frames, input_size=INPUT_SIZE, fp32=True,
+                                    windows_per_batch=1,
+                                    cache_keyframe_features=True)
+    np.testing.assert_allclose(on, seq, rtol=1e-5, atol=1e-5)
+    # chunk padding: c=4 over 3 windows pads the last chunk
+    pad, _ = pipe.infer_video_depth(frames, input_size=INPUT_SIZE, fp32=True,
+                                    windows_per_batch=4,
+                                    cache_keyframe_features=True)
+    np.testing.assert_allclose(pad, off, rtol=1e-6, atol=1e-6)

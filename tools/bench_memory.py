@@ -32,7 +32,7 @@ def measure(encoder: str, size: int, fp32: bool):
 
     from video_depth_anything_tpu.config import INFER_LEN, get_model_config
     from video_depth_anything_tpu.models.video_depth import (forward,
-                                                             init_params)
+                                                             param_shapes)
     from video_depth_anything_tpu.pipeline import preprocess
 
     cfg = get_model_config(encoder)
@@ -40,7 +40,7 @@ def measure(encoder: str, size: int, fp32: bool):
     net_hw = (size, size)
 
     # Abstract parameter tree (no trunc-normal init, no device transfer).
-    p_shapes = jax.eval_shape(init_params, jax.random.PRNGKey(0), cfg)
+    p_shapes = param_shapes(cfg)
     p_shapes = jax.tree.map(
         lambda s: jax.ShapeDtypeStruct(
             s.shape, dtype if s.dtype == jnp.float32 else s.dtype),
@@ -55,7 +55,12 @@ def measure(encoder: str, size: int, fp32: bool):
     mem = compiled.memory_analysis()
     gib = 1024.0 ** 3
     arg = mem.argument_size_in_bytes / gib
-    out = mem.output_size_in_bytes / gib
+    out_bytes = mem.output_size_in_bytes
+    if out_bytes == 0:  # CPU backend reports 0 — size the abstract outputs
+        out_bytes = sum(s.size * s.dtype.itemsize
+                        for s in jax.tree.leaves(jax.eval_shape(fn, p_shapes,
+                                                                win)))
+    out = out_bytes / gib
     tmp = mem.temp_size_in_bytes / gib
     code = mem.generated_code_size_in_bytes / gib
     total = arg + out + tmp + code
@@ -67,7 +72,7 @@ def measure(encoder: str, size: int, fp32: bool):
             "dtype": jnp.dtype(dtype).name,
             "value": round(total, 3), "unit": "GiB",
             "weights_plus_frames_gib": round(arg, 3),
-            "temps_gib": round(tmp, 3), "output_gib": round(out, 3),
+            "temps_gib": round(tmp, 3), "output_gib": round(out, 6),
             "code_gib": round(code, 4),
             "ref_a100_vram_gb": ref,
             "vs_ref": round(ref / total, 2) if ref else None}

@@ -87,7 +87,17 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     for dataset in args.datasets:
-        json_file = os.path.join(args.benchmark_path, f"{dataset}/{dataset}_video.json")
+        # Prefer the TAE manifest (K + pose per frame, written by the
+        # extractor as <dataset>_video_tae.json). The reference driver reads
+        # <dataset>_video.json (eval_tae.py:264) even though its own
+        # extractor writes the K/pose entries only to the _tae file
+        # (dataset_extract_scannet.py:111-112) — a latent manifest mismatch
+        # fixed here, like metric run.py's --save_exr (PARITY.md A2).
+        json_file = os.path.join(args.benchmark_path,
+                                 f"{dataset}/{dataset}_video_tae.json")
+        if not os.path.exists(json_file):
+            json_file = os.path.join(args.benchmark_path,
+                                     f"{dataset}/{dataset}_video.json")
         root = os.path.join(args.benchmark_path, dataset)
         crop = (8, -8, 11, -11)
         max_depth = 10.0

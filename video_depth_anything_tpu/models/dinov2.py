@@ -187,11 +187,29 @@ def _block_step(carry, bp, *, num_heads: int, use_pallas, ffn_layer="mlp",
         y = quant_ops.qlinear(bp["mlp"]["fc2"],
                               quant_ops.quant_act(g, qs["fc2"]),
                               qs["fc2"], x.dtype)
+    elif qs is not None and "w_i8" in bp["mlp"].get("w12", {}):
+        # Quantized fused SwiGLU (vitg): the "fc1"/"fc2" stat slots carry
+        # the w12-input / w3-input absmaxes (same two matmul sites).
+        h = quant_ops.qlinear(bp["mlp"]["w12"],
+                              quant_ops.quant_act(y, qs["fc1"]),
+                              qs["fc1"], x.dtype)
+        x1, x2 = jnp.split(h, 2, axis=-1)
+        g = jax.nn.silu(x1) * x2
+        y = quant_ops.qlinear(bp["mlp"]["w3"],
+                              quant_ops.quant_act(g, qs["fc2"]),
+                              qs["fc2"], x.dtype)
     elif collect_stats and ffn_layer == "mlp":
         h = vnn.linear(bp["mlp"]["fc1"], y)
         g = vnn.gelu(h)
         stats["fc2"] = quant_ops.amax(g)
         y = vnn.linear(bp["mlp"]["fc2"], g)
+    elif collect_stats:
+        # swiglufused calibration: absmax of the w3 input (silu(x1)*x2).
+        h = vnn.linear(bp["mlp"]["w12"], y)
+        x1, x2 = jnp.split(h, 2, axis=-1)
+        g = jax.nn.silu(x1) * x2
+        stats["fc2"] = quant_ops.amax(g)
+        y = vnn.linear(bp["mlp"]["w3"], g)
     else:
         y = _ffn(bp, y, ffn_layer)
     x = x + bp["ls2"]["gamma"].astype(x.dtype) * y
@@ -252,9 +270,9 @@ def calibrate_encoder_stats(params, x: jax.Array, cfg: ViTConfig, taps,
     from here without a second encoder pass), `stats` is
     {"qkv"|"proj"|"fc1"|"fc2": [L'] fp32} with L' = last tap + 1 (later
     blocks never run at inference). Feed stats to
-    ops/quant.py::quantize_encoder. MLP FFN only (vitg SwiGLU stays bf16).
+    ops/quant.py::quantize_encoder. For the fused-SwiGLU FFN (vitg) the
+    "fc1"/"fc2" slots carry the w12-input / w3-input absmaxes.
     """
-    assert cfg.ffn_layer == "mlp", "int8 calibration supports the MLP FFN only"
     tokens = _embed_tokens(params, x, cfg)
     step = partial(_block_step, num_heads=cfg.num_heads, use_pallas=use_pallas,
                    ffn_layer=cfg.ffn_layer, collect_stats=True)

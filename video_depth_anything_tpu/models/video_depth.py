@@ -279,6 +279,41 @@ def init_head_params(rng: np.random.Generator, cfg: ModelConfig):
     return p
 
 
+class _ZeroGen:
+    """np.random.Generator stand-in returning zeros, for shape-only init.
+
+    The init helpers only call ``standard_normal(shape)`` and
+    ``uniform(low, high, size)``; zeros keep every branch trivial (the
+    trunc-normal resample loop exits immediately at |0| <= 2 sigma).
+    """
+
+    @staticmethod
+    def standard_normal(shape=()):
+        return np.zeros(shape)
+
+    @staticmethod
+    def uniform(low=0.0, high=1.0, size=None):
+        return np.zeros(() if size is None else size)
+
+
+def param_shapes(cfg: ModelConfig):
+    """Abstract parameter tree as ShapeDtypeStructs — no RNG, no device data.
+
+    Used by AOT tooling (tools/bench_memory.py) to lower/compile the window
+    program without materializing weights. Dtypes are canonicalized the same
+    way init_params' final jnp.asarray would (float64 -> float32).
+    """
+    gen = _ZeroGen()
+    tree = {
+        "pretrained": dinov2.init_encoder_params(gen, cfg.vit),
+        "head": init_head_params(gen, cfg),
+    }
+    return jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(
+            np.shape(a), jax.dtypes.canonicalize_dtype(np.asarray(a).dtype)),
+        tree)
+
+
 def init_params(rng, cfg: ModelConfig):
     """Random-init full parameter tree ({"pretrained": ..., "head": ...}).
 

@@ -141,8 +141,9 @@ def quantize_encoder(pretrained, act_stats, depth: int):
     the stacked leaves keep the scan-sliceable [depth, ...] shape.
 
     Returns a new tree; models/dinov2.py::_block_step dispatches on the
-    presence of the "qs" leaf. Only the MLP FFN is supported (vitg's SwiGLU
-    stays bf16 — its w12/w3 sites are simply left unquantized).
+    presence of the "qs" leaf. Both FFN layouts quantize: MLP fc1/fc2 and
+    the fused-SwiGLU w12/w3 (vitg), whose act scales ride the same
+    "fc1"/"fc2" stat slots.
     """
     blocks = pretrained["blocks"]
     new_attn = {k: (_quantize_site(v) if k in ("q", "k", "v", "proj") else v)
@@ -150,6 +151,9 @@ def quantize_encoder(pretrained, act_stats, depth: int):
     new_mlp = blocks["mlp"]
     if "fc1" in blocks["mlp"]:
         new_mlp = {k: (_quantize_site(v) if k in ("fc1", "fc2") else v)
+                   for k, v in blocks["mlp"].items()}
+    elif "w12" in blocks["mlp"]:
+        new_mlp = {k: (_quantize_site(v) if k in ("w12", "w3") else v)
                    for k, v in blocks["mlp"].items()}
     qs = {}
     for k in ACT_SITES:

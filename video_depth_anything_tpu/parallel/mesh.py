@@ -44,6 +44,12 @@ _RULES = [
     (r"pretrained/blocks/mlp/fc1/w$", P(None, None, "model")),
     (r"pretrained/blocks/mlp/fc1/b$", P(None, "model")),
     (r"pretrained/blocks/mlp/fc2/w$", P(None, "model", None)),
+    # fused SwiGLU (vitg): w12 column-sharded (GSPMD reshards the x1/x2
+    # mid-split with a collective — correct, and the [d, 2H] matmul still
+    # tiles over "model"), w3 row-sharded like fc2.
+    (r"pretrained/blocks/mlp/w12/w$", P(None, None, "model")),
+    (r"pretrained/blocks/mlp/w12/b$", P(None, "model")),
+    (r"pretrained/blocks/mlp/w3/w$", P(None, "model", None)),
     # --- temporal modules: qkv/ff hidden over "model"
     (r"head/motion_modules/.*/to_[qkv]/w$", P(None, "model")),
     (r"head/motion_modules/.*/to_out/0/w$", P("model", None)),

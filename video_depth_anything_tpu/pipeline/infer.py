@@ -33,30 +33,60 @@ _CALIB_META = "__calib_meta__"
 
 
 def _save_calib(path, stats, net_hw, dtype):
+    """Persist calibration stats atomically (temp file + os.replace).
+
+    Under a multi-host mesh only process 0 writes — every process would
+    otherwise race on the same path (they all hold identical stats, the
+    calibration forward is replicated).
+    """
+    import os
+
+    if jax.process_index() != 0:
+        return
     from ..utils.params_io import flatten_tree
-    np.savez_compressed(
-        path,
-        **{_CALIB_META + "/net_hw": np.asarray(net_hw, np.int64),
-           _CALIB_META + "/dtype": np.asarray(jnp.dtype(dtype).name)},
-        **flatten_tree(stats))
+    # .npz suffix required: np.savez appends it to names without one.
+    tmp = f"{path}.tmp.{os.getpid()}.npz"
+    try:
+        np.savez_compressed(
+            tmp,
+            **{_CALIB_META + "/net_hw": np.asarray(net_hw, np.int64),
+               _CALIB_META + "/dtype": np.asarray(jnp.dtype(dtype).name)},
+            **flatten_tree(stats))
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def _load_calib(path, net_hw, dtype):
-    """Stats tree if the side file matches (net_hw, dtype), else None."""
+    """Stats tree if the side file matches (net_hw, dtype), else None.
+
+    A truncated/corrupt side file (zipfile.BadZipFile, OSError, missing
+    keys) returns None too — the caller recalibrates and overwrites it,
+    matching the documented mismatch behavior instead of bricking --int8.
+    """
+    import warnings
+    import zipfile
+
     from ..utils.params_io import unflatten_tree
-    with np.load(path) as data:
-        files = set(data.files)
-        meta_hw = (data[_CALIB_META + "/net_hw"]
-                   if _CALIB_META + "/net_hw" in files else None)
-        meta_dt = (data[_CALIB_META + "/dtype"]
-                   if _CALIB_META + "/dtype" in files else None)
-        if (meta_hw is None or tuple(meta_hw) != tuple(net_hw)
-                or meta_dt is None
-                or str(meta_dt) != jnp.dtype(dtype).name):
-            return None  # legacy (meta-less) or mismatched: recalibrate
-        flat = {k: np.asarray(data[k]) for k in data.files
-                if not k.startswith(_CALIB_META)}
-    return unflatten_tree(flat)
+    try:
+        with np.load(path) as data:
+            files = set(data.files)
+            meta_hw = (data[_CALIB_META + "/net_hw"]
+                       if _CALIB_META + "/net_hw" in files else None)
+            meta_dt = (data[_CALIB_META + "/dtype"]
+                       if _CALIB_META + "/dtype" in files else None)
+            if (meta_hw is None or tuple(meta_hw) != tuple(net_hw)
+                    or meta_dt is None
+                    or str(meta_dt) != jnp.dtype(dtype).name):
+                return None  # legacy (meta-less) or mismatched: recalibrate
+            flat = {k: np.asarray(data[k]) for k in data.files
+                    if not k.startswith(_CALIB_META)}
+        return unflatten_tree(flat)
+    except (zipfile.BadZipFile, OSError, KeyError, ValueError) as e:
+        warnings.warn(f"unreadable int8 calibration file {path} ({e}); "
+                      "recalibrating")
+        return None
 
 
 class VideoDepthPipeline:
@@ -254,6 +284,67 @@ class VideoDepthPipeline:
         self._forward_jit[key] = fns
         return fns
 
+    def _batched_cached_fns(self, net_hw, src_hw, dtype, c: int, m_max: int):
+        """Keyframe-feature-cached path for BATCHED/mesh-sharded windows.
+
+        The sequential `reuse` chain of _cached_fns can't batch (window k's
+        cache depends on window k-1's), but the cache's underlying fact is
+        stronger: the encoder is per-frame and every window row is a SOURCE
+        frame index (pipeline/windows.py closed form). So a chunk of C
+        windows needs each unique source frame encoded exactly ONCE —
+        22C+10 frames instead of the plain path's 32C — and the per-window
+        features are a pure gather. The encode batch shards over the mesh
+        "data" axis like any frame batch; the head runs on the gathered
+        [C, 32] features; the 10 keyframe features the NEXT chunk re-uses
+        stay resident on device (VERDICT r3 item 5: the two flagship
+        optimizations — cache and batching/mesh — now compose).
+
+        Returns (encode, head_gather):
+          encode(params, frames_u8 [M,H,W,3]) -> feats (4 taps x [patch
+              [M,P,D], cls [M,D]])
+          head_gather(params, resident, new_feats, rel [C*32], res_rel [10])
+              -> (depths [C,32,H,W] fp32, next_resident)
+        where the feature table is concat(resident, new_feats) on the frame
+        axis and rel/res_rel index into it (host-computed slot maps).
+        """
+        key = ("bcached", net_hw, src_hw, jnp.dtype(dtype).name, c, m_max)
+        if key in self._forward_jit:
+            return self._forward_jit[key]
+        cfg = self.cfg
+        use_pallas = self.use_pallas
+        ph = net_hw[0] // cfg.vit.patch_size
+        pw = net_hw[1] // cfg.vit.patch_size
+
+        @jax.jit
+        def encode(params, frames_u8):
+            x = preprocess.preprocess_frames(frames_u8, net_hw, dtype=dtype)
+            feats = dinov2.get_intermediate_layers(
+                params["pretrained"], x, cfg.vit, cfg.intermediate_layer_idx,
+                use_pallas=use_pallas)
+            return [list(f) for f in feats]
+
+        @jax.jit
+        def head_gather(params, resident, new_feats, rel, res_rel):
+            table = jax.tree.map(
+                lambda r, nf: jnp.concatenate([r, nf], axis=0),
+                resident, new_feats)
+            feats = jax.tree.map(lambda tb: tb[rel], table)
+            depth = video_depth._head_forward(
+                params["head"], [tuple(f) for f in feats], ph, pw, c,
+                INFER_LEN, cfg)
+            # Same op order as the plain path (models/video_depth.py:113-115
+            # with the identity net-res resize skipped): ReLU at head
+            # resolution, THEN the fp32 resize to source.
+            depth = jnp.maximum(depth.astype(jnp.float32), 0.0)
+            depth = resize_bilinear_align_corners(depth, src_hw)
+            depths = depth[..., 0].reshape(c, INFER_LEN, *src_hw)
+            next_resident = jax.tree.map(lambda tb: tb[res_rel], table)
+            return depths, next_resident
+
+        fns = (encode, head_gather)
+        self._forward_jit[key] = fns
+        return fns
+
     # -- public API ----------------------------------------------------------
     def infer_video_depth(self, frames, target_fps: float = -1,
                           input_size: int = 518, fp32: bool = False,
@@ -284,11 +375,17 @@ class VideoDepthPipeline:
         if self.mesh is not None:  # chunk must tile the data axis
             nd = self.mesh.shape["data"]
             c = -(-c // nd) * nd
+        # Three forward modes, all numerically interchangeable:
+        #   seq-cache   (c==1, no mesh): sequential keyframe-feature reuse
+        #   batch-cache (c>1 or mesh):   dedup-encode unique source frames,
+        #                                gather per window (_batched_cached_fns)
+        #   plain       (cache off):     full 32-frame forward per window
         use_cache = (cache_keyframe_features and c == 1 and self.mesh is None)
+        use_bcache = cache_keyframe_features and not use_cache
         if use_cache:
             encode, head_fn, reuse = self._cached_fns(net_hw, (src_h, src_w),
                                                       dtype)
-        else:
+        elif not use_bcache:
             fwd = self._window_fn(net_hw, (src_h, src_w), dtype)
         out_dtype = jnp.float16 if self.transfer_fp16 else None
         scan = partial(_stitch_chunk, metric=self.cfg.metric,
@@ -323,6 +420,52 @@ class VideoDepthPipeline:
                 sel = np.concatenate([sel, np.repeat(sel[-1:], c - r, axis=0)])
             chunks.append((sel, r))
 
+        if use_bcache:
+            # Host-side slot bookkeeping for the dedup-encode path. Per
+            # chunk: encode the source frames not already resident (the 10
+            # keyframe features the previous chunk's last window carries
+            # forward — idx[k][KEYFRAMES] is exactly the set window k+1
+            # re-references, including the global frame-0 anchor), then
+            # address every window row through a slot table of
+            # concat(resident, newly_encoded).
+            from ..config import KEYFRAMES
+            n_res = len(KEYFRAMES)
+            m_max = c * FRAME_STEP + (INFER_LEN - FRAME_STEP)
+            if self.mesh is not None:  # encode batch tiles the data axis
+                m_max = -(-m_max // self.mesh.shape["data"]) \
+                    * self.mesh.shape["data"]
+            kf_pos = np.asarray(KEYFRAMES)
+            bmeta = []
+            res_ids = None
+            for sel, r in chunks:
+                uniq = np.unique(sel)
+                new_ids = (np.setdiff1d(uniq, res_ids)
+                           if res_ids is not None else uniq)
+                assert len(new_ids) <= m_max, (len(new_ids), m_max)
+                # new_ids can be EMPTY (a padded tail chunk whose clamped
+                # ids are all already resident) — the encode batch then
+                # carries only dummy rows nothing gathers from.
+                pad_id = int(new_ids[-1]) if len(new_ids) else int(uniq[-1])
+                enc_ids = np.concatenate(
+                    [new_ids, np.full((m_max - len(new_ids),), pad_id,
+                                      new_ids.dtype if len(new_ids)
+                                      else np.int64)])
+                slot = ({int(f): j for j, f in enumerate(res_ids)}
+                        if res_ids is not None else {})
+                slot.update({int(f): n_res + j
+                             for j, f in enumerate(new_ids)})
+                rel = np.asarray([slot[int(f)] for f in sel.reshape(-1)],
+                                 np.int32)
+                last_kf = sel[r - 1][kf_pos]
+                res_rel = np.asarray([slot[int(f)] for f in last_kf],
+                                     np.int32)
+                bmeta.append((enc_ids, jnp.asarray(rel),
+                              jnp.asarray(res_rel)))
+                res_ids = last_kf
+            encode_b, head_gather = self._batched_cached_fns(
+                net_hw, (src_h, src_w), dtype, c, m_max)
+            resident = None
+
         def upload(i):
             """Host->device copy for chunk i (cached path: only the
             FRAME_STEP new frames; window 0: all 32). Issued one chunk
@@ -335,6 +478,8 @@ class VideoDepthPipeline:
             if use_cache:
                 rows = sel_i[0] if i == 0 else sel_i[0, OVERLAP:]
                 return jnp.asarray(frames[rows])
+            if use_bcache:  # only the deduplicated new frames cross
+                return self._put_windows(frames[bmeta[i][0]])
             return self._put_windows(frames[sel_i])
 
         next_dev = upload(0) if chunks else None
@@ -347,6 +492,15 @@ class VideoDepthPipeline:
                         prev_feats = reuse(prev_feats,
                                            encode(params, next_dev))
                     depths = head_fn(params, prev_feats)  # [1, 32, H, W]
+                elif use_bcache:
+                    new_feats = encode_b(params, next_dev)
+                    if resident is None:  # chunk 0 references no old slots
+                        resident = jax.tree.map(
+                            lambda a: jnp.zeros((n_res,) + a.shape[1:],
+                                                a.dtype), new_feats)
+                    _, rel, res_rel = bmeta[i]
+                    depths, resident = head_gather(params, resident,
+                                                   new_feats, rel, res_rel)
                 else:
                     depths = fwd(params, next_dev)        # [C,32,H,W]
                 if i + 1 < len(chunks):

@@ -74,6 +74,12 @@ def _ffmpeg_decode_iter(video_path: str, target_fps: float, max_res: int):
     meta = next(probe)
     probe.close()
     w, h = meta["size"]
+    # Rotation/display-matrix metadata: ffmpeg autorotates the decoded
+    # output (matching cv2's behavior), so a 90/270 stream has transposed
+    # geometry vs the probe's container size — swap to match the pipe.
+    rotate = int(float(meta.get("rotate") or 0)) % 360
+    if rotate in (90, 270):
+        w, h = h, w
     original_fps = meta.get("fps") or 30.0
     scale_hw = None
     if max_res > 0 and max(h, w) > max_res:
@@ -97,6 +103,12 @@ def _ffmpeg_decode_iter(video_path: str, target_fps: float, max_res: int):
     def frames():
         try:
             for raw in reader:
+                if len(raw) != h * w * 3:
+                    raise ValueError(
+                        f"ffmpeg pipe frame is {len(raw)} bytes, expected "
+                        f"{h}x{w}x3={h * w * 3} (probe size {meta['size']}, "
+                        f"rotate={rotate}); the stream geometry disagrees "
+                        "with the probe — use decode_backend='cv2'")
                 f = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
                 if scale_hw is not None:
                     f = cv2.resize(f, (scale_hw[1], scale_hw[0]),
@@ -137,12 +149,17 @@ def read_video_frames(video_path: str, process_length: int = -1,
                       decode_backend: str | None = None):
     """-> (frames [N,H,W,3] uint8 RGB, fps). Mirrors dc_utils.py:22-69."""
     if _resolve_backend(decode_backend) == "ffmpeg":
+        import contextlib
         it, fps, _ = _ffmpeg_decode_iter(video_path, target_fps, max_res)
         frames = []
-        for f in it:
-            frames.append(f)
-            if process_length > 0 and len(frames) >= process_length:
-                break
+        # closing() so an early break deterministically runs the
+        # generator's finally (terminating the ffmpeg subprocess + pipe)
+        # instead of relying on CPython refcounting.
+        with contextlib.closing(it):
+            for f in it:
+                frames.append(f)
+                if process_length > 0 and len(frames) >= process_length:
+                    break
         if not frames:
             raise ValueError(f"no frames decoded from {video_path}")
         return np.stack(frames, axis=0), fps
