@@ -58,6 +58,10 @@ def main():
     parser.add_argument("--transfer_fp16", action="store_true",
                         help="e2e mode: fp16 depth transport (pipeline "
                              "transfer_fp16; floor measurement matches)")
+    parser.add_argument("--e2e_detail", action="store_true",
+                        help="e2e mode: per-span timing breakdown "
+                             "(collect_timings) + separate upload/download "
+                             "floor components, printed to stderr")
     args = parser.parse_args()
 
     import jax
@@ -146,7 +150,8 @@ def main():
         pipe = VideoDepthPipeline(cfg, params, use_pallas=use_pallas,
                           quant="int8" if args.int8 else None,
                           transfer_fp16=args.transfer_fp16)
-        kw = dict(input_size=args.size, fp32=args.fp32)
+        kw = dict(input_size=args.size, fp32=args.fp32,
+                  collect_timings=args.e2e_detail)
         pipe.infer_video_depth(frames, **kw)  # compile
         e2e = []
         for _ in range(max(args.iters // 3, 2)):
@@ -157,23 +162,37 @@ def main():
         e2e_ms = sorted(e2e)[len(e2e) // 2] * 1000.0 / args.e2e_frames
         record["e2e_ms_per_frame"] = round(e2e_ms, 3)
         record["e2e_frames"] = args.e2e_frames
+        if args.e2e_detail and pipe.timer is not None:
+            print(f"e2e span breakdown (last iter, total "
+                  f"{e2e[-1]*1e3:.1f} ms): {pipe.timer.summary()}",
+                  file=sys.stderr, flush=True)
 
         # Host<->device transfer share of e2e, measured directly: on this
         # tunneled dev TPU the PCIe path runs through an RPC bridge, so raw
         # byte movement dominates e2e; on a real TPU host it is DMA (~GB/s)
         # and e2e approaches the forward number.
-        tt = []
+        tt, t_up, t_down = [], [], []
         down_dt = jnp.float16 if args.transfer_fp16 else jnp.float32
         for _ in range(3):
             t0 = time.perf_counter()
             dev = jnp.asarray(frames)
             dev.block_until_ready()
+            t1 = time.perf_counter()
             back = np.asarray(jnp.zeros(
                 (args.e2e_frames, args.size, args.size), down_dt) + dev[..., 0].astype(down_dt))
             del back
-            tt.append(time.perf_counter() - t0)
+            t2 = time.perf_counter()
+            tt.append(t2 - t0)
+            t_up.append(t1 - t0)
+            t_down.append(t2 - t1)
         record["e2e_transfer_ms_per_frame"] = round(
             sorted(tt)[len(tt) // 2] * 1000.0 / args.e2e_frames, 3)
+        if args.e2e_detail:
+            print(f"transfer floor: upload {np.median(t_up)*1e3/args.e2e_frames:.2f} "
+                  f"ms/frame, download+readout {np.median(t_down)*1e3/args.e2e_frames:.2f} "
+                  f"ms/frame, e2e/floor "
+                  f"{e2e_ms/record['e2e_transfer_ms_per_frame']:.3f}",
+                  file=sys.stderr, flush=True)
         del pipe, frames
 
     if not args.no_steady and args.batch == 1 and args.frames == 32:

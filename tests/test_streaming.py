@@ -40,6 +40,52 @@ def test_streaming_matches_batch(pipe, n):
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize("n", [10, 50, 100])
+def test_chunked_streaming_matches_batch(pipe, n):
+    """windows_per_batch>1 streaming (dedup-encode chunks) must match the
+    batch path exactly — lifts the old streaming/batching exclusivity
+    (VERDICT r3 item 5)."""
+    frames = synthetic_video(n=n, hw=(42, 56))
+    ref, _ = pipe.infer_video_depth(frames, input_size=28, fp32=True,
+                                    windows_per_batch=2)
+    chunks = list(pipe.infer_video_depth_streaming(
+        iter(frames), input_size=28, fp32=True, windows_per_batch=2))
+    got = np.concatenate(chunks, axis=0)
+    assert got.shape == ref.shape == (n, 42, 56)
+    if n >= 50:  # both paths run identical C=2 chunks -> bit parity
+        np.testing.assert_array_equal(got, ref)
+    else:
+        # single-window video: the batch API clamps windows_per_batch to
+        # k_total=1 (sequential path) while chunked streaming pads to C=2,
+        # so conv batching reassociates at fp32 epsilon
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_streaming_on_mesh_matches_single_device():
+    """Streaming + mesh (formerly NotImplementedError): chunked streaming
+    over a 4x2 mesh equals the single-device batch output."""
+    from video_depth_anything_tpu.parallel import make_mesh
+
+    cfg = ModelConfig(
+        encoder="_tinystreammesh",
+        vit_override=ViTConfig(embed_dim=64, depth=2, num_heads=2),
+        features=32,
+        out_channels=(32, 32, 32, 32), taps=(0, 0, 1, 1))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    frames = synthetic_video(n=100, hw=(42, 56))
+
+    single = VideoDepthPipeline(cfg, params, use_pallas=False)
+    ref, _ = single.infer_video_depth(frames, input_size=28, fp32=True)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    sharded = VideoDepthPipeline(cfg, params, mesh=mesh, use_pallas=False)
+    chunks = list(sharded.infer_video_depth_streaming(
+        iter(frames), input_size=28, fp32=True, windows_per_batch=4))
+    got = np.concatenate(chunks, axis=0)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_incremental_writer_matches_batch_writer(tmp_path):
     cv2 = pytest.importorskip("cv2")
     from video_depth_anything_tpu.utils.video_io import (IncrementalVideoWriter,

@@ -195,6 +195,77 @@ def variants():
         pa.pl.pallas_call = real_pallas_call
 
 
+def variants_other():
+    """A/B the OTHER three attention entry points with/without the
+    historical cost_estimate (ADVICE r3: the removal was measured only on
+    flash_attention_packed; qkv_fused / qk8 / plain flash were
+    extrapolated). 'shipped' = current code (no estimate); '+cost' =
+    pallas_call monkey-patched to inject the exact estimate removed in
+    commit 1cc3ebf."""
+    rng = np.random.default_rng(0)
+    c = H * DH
+    scale = DH ** -0.5
+    real_pallas_call = pl.pallas_call
+
+    def with_cost(est):
+        def patched(*a, **kw):
+            kw["cost_estimate"] = est
+            return real_pallas_call(*a, **kw)
+        return patched
+
+    def ab(name, make_fn, est, args, flops):
+        t_ship = timed(make_fn(), *args)
+        pa.pl.pallas_call = with_cost(est)
+        try:
+            t_cost = timed(make_fn(), *args)
+        finally:
+            pa.pl.pallas_call = real_pallas_call
+        d = (t_cost - t_ship) / t_ship * 100
+        print(f"{name:12s} shipped {t_ship*1e3:8.3f} ms  +cost "
+              f"{t_cost*1e3:8.3f} ms  ({d:+.1f}% with cost_estimate)  "
+              f"{flops/t_ship/1e12:5.1f} TF/s", flush=True)
+
+    # qkv_fused: one packed [B,S,3c] input (encoder fused-QKV path)
+    qkv = jnp.asarray(rng.standard_normal((B, S, 3 * c)) * 0.3, jnp.bfloat16)
+    q_pad = s_pad = S_PAD
+    est_fused = pl.CostEstimate(
+        flops=4 * B * H * q_pad * s_pad * DH,
+        bytes_accessed=2 * B * q_pad * 3 * c * qkv.dtype.itemsize,
+        transcendentals=B * H * q_pad * s_pad)
+    ab("qkv_fused",
+       lambda: jax.jit(functools.partial(
+           pa.flash_attention_qkv_fused.__wrapped__, num_heads=H)),
+       est_fused, (qkv,), 4 * B * H * q_pad * s_pad * DH)
+
+    # qk8: int8 Q/K + bf16 V (the int8 headline path)
+    q8 = jnp.asarray(rng.integers(-127, 128, (B, S, c)), jnp.int8)
+    k8 = jnp.asarray(rng.integers(-127, 128, (B, S, c)), jnp.int8)
+    v = jnp.asarray(rng.standard_normal((B, S, c)) * 0.3, jnp.bfloat16)
+    scales = jnp.asarray([0.01, 0.01], jnp.float32)
+    est_qk8 = pl.CostEstimate(
+        flops=4 * B * H * q_pad * s_pad * DH,
+        bytes_accessed=B * q_pad * c * (2 + 2 * 1 + 2),
+        transcendentals=B * H * q_pad * s_pad)
+    ab("qk8",
+       lambda: jax.jit(functools.partial(
+           pa.flash_attention_packed_qk8.__wrapped__, num_heads=H)),
+       est_qk8, (q8, k8, v, scales), 4 * B * H * q_pad * s_pad * DH)
+
+    # plain flash: already-split [B,H,S,D]
+    q4 = jnp.asarray(rng.standard_normal((B, H, S, DH)) * 0.3, jnp.bfloat16)
+    k4 = jnp.asarray(rng.standard_normal((B, H, S, DH)) * 0.3, jnp.bfloat16)
+    v4 = jnp.asarray(rng.standard_normal((B, H, S, DH)) * 0.3, jnp.bfloat16)
+    est_plain = pl.CostEstimate(
+        flops=4 * B * H * q_pad * s_pad * DH,
+        bytes_accessed=(B * H * (q_pad + 2 * s_pad) * DH * 2
+                        + B * H * q_pad * DH * 2),
+        transcendentals=B * H * q_pad * s_pad)
+    ab("plain",
+       lambda: jax.jit(functools.partial(
+           pa.flash_attention.__wrapped__, scale=scale)),
+       est_plain, (q4, k4, v4), 4 * B * H * q_pad * s_pad * DH)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     print("backend:", jax.default_backend(), flush=True)
@@ -202,3 +273,5 @@ if __name__ == "__main__":
         probes()
     if mode in ("variants", "all"):
         variants()
+    if mode in ("others", "all"):
+        variants_other()

@@ -533,7 +533,8 @@ class VideoDepthPipeline:
 
 
     def infer_video_depth_streaming(self, frame_iter, input_size: int = 518,
-                                    fp32: bool = False):
+                                    fp32: bool = False,
+                                    windows_per_batch: int = 1):
         """Bounded-memory long-video inference from a frame iterator.
 
         frame_iter yields [H, W, 3] uint8 frames (utils/video_io.py::
@@ -543,12 +544,27 @@ class VideoDepthPipeline:
         exactly the next FRAME_STEP source frames (the closed-form indices
         of pipeline/windows.py are sequential in the cached-keyframe
         scheme), so only O(window) frames are ever resident.
+
+        windows_per_batch > 1 (or a mesh) switches to chunked streaming:
+        C windows are buffered and run per device step through the same
+        dedup-encode path as the batch API (_batched_cached_fns), so
+        streaming composes with mesh sharding; host memory stays
+        O(C*window). Multi-host streaming stays unsupported (every process
+        would need an identical frame stream — feed the batch API with
+        windows_per_batch instead).
         """
-        if self.mesh is not None:
+        if self.mesh is not None and jax.process_count() > 1:
             raise NotImplementedError(
-                "streaming uses the sequential keyframe-feature cache; for "
-                "mesh-sharded window batching use infer_video_depth with "
-                "windows_per_batch")
+                "multi-host streaming would require feeding every process "
+                "an identical frame stream; use infer_video_depth with "
+                "windows_per_batch for multi-host serving")
+        c = max(1, windows_per_batch)
+        if self.mesh is not None:
+            nd = self.mesh.shape["data"]
+            c = -(-c // nd) * nd
+        if c > 1 or self.mesh is not None:
+            yield from self._stream_chunked(frame_iter, input_size, fp32, c)
+            return
         it = iter(frame_iter)
         first = []
         for f in it:
@@ -647,6 +663,164 @@ class VideoDepthPipeline:
             # bit-parity (tests/test_streaming.py) with the flag on too.
             final_tail = final_tail.astype(out_dtype)
         tail = clip(final_tail, n)
+        if len(tail):
+            yield tail
+
+    def _stream_chunked(self, frame_iter, input_size: int, fp32: bool,
+                        c: int):
+        """Chunked streaming: C windows per device step (mesh-composable).
+
+        Same window/stitch semantics as infer_video_depth with
+        windows_per_batch=C and the cache on — the frame source is an
+        iterator instead of an array, with host residency bounded by one
+        chunk's new frames (~C*FRAME_STEP) plus the last frame for EOF
+        tail clamping. Keyframe features older chunks re-reference (incl.
+        the frame-0 anchor) stay resident on DEVICE, so their source
+        frames are dropped from host memory.
+        """
+        from ..config import KEYFRAMES
+        it = iter(frame_iter)
+        first = []
+        for f in it:
+            first.append(np.asarray(f))
+            if len(first) == INFER_LEN:
+                break
+        if not first:
+            return
+        src_h, src_w = first[0].shape[:2]
+        eff = preprocess.effective_input_size(src_h, src_w, input_size)
+        net_hw = preprocess.network_input_hw(src_h, src_w, eff)
+        dtype = jnp.float32 if fp32 else jnp.bfloat16
+        params = self._params_in(dtype)
+        if self.quant == "int8":
+            window0 = first + [first[-1]] * (INFER_LEN - len(first))
+            params = self._quantized_params(params, np.stack(window0),
+                                            net_hw, dtype)
+        n_res = len(KEYFRAMES)
+        kf_pos = np.asarray(KEYFRAMES)
+        m_max = c * FRAME_STEP + (INFER_LEN - FRAME_STEP)
+        if self.mesh is not None:
+            m_max = -(-m_max // self.mesh.shape["data"]) \
+                * self.mesh.shape["data"]
+        encode_b, head_gather = self._batched_cached_fns(
+            net_hw, (src_h, src_w), dtype, c, m_max)
+        out_dtype = jnp.float16 if self.transfer_fp16 else None
+        scan = partial(_stitch_chunk, metric=self.cfg.metric,
+                       out_dtype=out_dtype)
+
+        store = {i: f for i, f in enumerate(first)}
+        n = len(first)
+        hi_read = n
+        ended = n < INFER_LEN
+
+        def read_upto(target):
+            nonlocal n, hi_read, ended
+            while not ended and hi_read < target:
+                f = next(it, None)
+                if f is None:
+                    ended = True
+                    break
+                store[hi_read] = np.asarray(f)
+                hi_read += 1
+                n += 1
+
+        emitted = 0
+
+        def clip(arr, total):
+            nonlocal emitted
+            take = np.asarray(arr)[: max(0, total - emitted)]
+            emitted += len(take)
+            return np.asarray(take, np.float32)
+
+        carry = None
+        last_tail = None
+        resident = None
+        res_ids = None
+        prev_row = None  # UNclamped recurrence row (windows.py semantics)
+        s = 0
+        while True:
+            # Unclamped rows for windows s..s+c-1, reading frames as needed.
+            raw_rows = []
+            for k in range(s, s + c):
+                if k == 0:
+                    row = np.arange(INFER_LEN, dtype=np.int64)
+                else:
+                    row = np.concatenate(
+                        [prev_row[kf_pos],
+                         k * FRAME_STEP + np.arange(OVERLAP, INFER_LEN,
+                                                    dtype=np.int64)])
+                raw_rows.append(row)
+                prev_row = row
+            read_upto(int(raw_rows[-1].max()) + 1)
+            if ended:
+                k_total = windows.num_windows(n)
+                r = min(c, k_total - s)
+                rows = [np.minimum(raw_rows[j], n - 1) for j in range(r)]
+                rows += [rows[-1]] * (c - r)  # pad like the batch path
+            else:
+                k_total = None
+                r = c
+                rows = raw_rows
+            sel = np.stack(rows)
+
+            uniq = np.unique(sel)
+            new_ids = (np.setdiff1d(uniq, res_ids)
+                       if res_ids is not None else uniq)
+            assert len(new_ids) <= m_max, (len(new_ids), m_max)
+            pad_id = int(new_ids[-1]) if len(new_ids) else int(uniq[-1])
+            enc_ids = np.concatenate(
+                [new_ids, np.full((m_max - len(new_ids),), pad_id,
+                                  np.int64)]).astype(np.int64)
+            slot = ({int(f): j for j, f in enumerate(res_ids)}
+                    if res_ids is not None else {})
+            slot.update({int(f): n_res + j for j, f in enumerate(new_ids)})
+            rel = jnp.asarray([slot[int(f)] for f in sel.reshape(-1)],
+                              jnp.int32)
+            last_kf = sel[r - 1][kf_pos]
+            res_rel = jnp.asarray([slot[int(f)] for f in last_kf], jnp.int32)
+            res_ids = last_kf
+
+            frames_enc = np.stack([store[int(i)] for i in enc_ids])
+            new_feats = encode_b(params, self._put_windows(frames_enc))
+            if resident is None:
+                resident = jax.tree.map(
+                    lambda a: jnp.zeros((n_res,) + a.shape[1:], a.dtype),
+                    new_feats)
+            depths, resident = head_gather(params, resident, new_feats,
+                                           rel, res_rel)
+
+            # Host frame retention: everything encoded is consumable except
+            # the largest id (EOF tail clamping re-references it); once the
+            # stream ended, later chunks keep clamping to n-1.
+            keep_from = int(enc_ids.max()) if len(new_ids) else hi_read - 1
+            if ended:
+                keep_from = min(keep_from, n - 1)
+            for fid in [k for k in store if k < keep_from]:
+                del store[fid]
+
+            if carry is None:
+                carry, emit0 = _stitch_first_jit(depths[0],
+                                                 out_dtype=out_dtype)
+                out = clip(emit0, n if ended else emitted + OVERLAP + 14)
+                if len(out):
+                    yield out
+                last_tail = carry[2]
+                depths = depths[1:]
+                r -= 1
+            if r > 0:
+                carry, emits, tails = scan(carry, depths)
+                flat = np.asarray(emits[:r]).reshape(r * FRAME_STEP,
+                                                     src_h, src_w)
+                out = clip(flat, n if ended else emitted + r * FRAME_STEP)
+                if len(out):
+                    yield out
+                last_tail = tails[r - 1]
+            s += c
+            if k_total is not None and s >= k_total:
+                break
+        if out_dtype is not None and last_tail.dtype != out_dtype:
+            last_tail = last_tail.astype(out_dtype)
+        tail = clip(self._fetch(last_tail), n)
         if len(tail):
             yield tail
 
