@@ -62,6 +62,11 @@ def main():
                         help="e2e mode: per-span timing breakdown "
                              "(collect_timings) + separate upload/download "
                              "floor components, printed to stderr")
+    parser.add_argument("--steady_batch_windows", type=int, default=0,
+                        help="windows per step for the batched steady-state "
+                             "metric (0 = auto: 2 for vitl, 4 for vits — "
+                             "vitl's head at 4x32 frames/518^2 exceeds a "
+                             "16 GiB chip's HBM)")
     args = parser.parse_args()
 
     import jax
@@ -136,14 +141,63 @@ def main():
         "fps_per_chip": round(1000.0 / ms_per_frame, 2),
     }
 
+    import contextlib
+
+    @contextlib.contextmanager
+    def section(name):
+        """Optional sections must never lose the JSON record: a crashed
+        section (e.g. HBM exhaustion on a smaller chip) records its error
+        and the bench moves on (round-4 fix: an OOM in the batched
+        steady-state section used to kill the whole run unprinted)."""
+        try:
+            yield
+        except Exception as e:  # noqa: BLE001 — deliberate catch-all
+            record[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+            print(f"[bench] section {name} failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
+
+    def transfer_floor(frames, n_iters=4):
+        """Raw host->device + device->host floor for the e2e byte volume.
+        The download program is jitted once so compile time never lands in
+        a timed iteration."""
+        down_dt = jnp.float16 if args.transfer_fp16 else jnp.float32
+
+        @jax.jit
+        def to_depth(dev):
+            return jnp.zeros((args.e2e_frames, args.size, args.size),
+                             down_dt) + dev[..., 0].astype(down_dt)
+
+        np.asarray(to_depth(jnp.asarray(frames)))  # compile + warm path
+        tt, t_up, t_down = [], [], []
+        for _ in range(n_iters):
+            t0 = time.perf_counter()
+            dev = jnp.asarray(frames)
+            dev.block_until_ready()
+            t1 = time.perf_counter()
+            np.asarray(to_depth(dev))
+            t2 = time.perf_counter()
+            tt.append(t2 - t0)
+            t_up.append(t1 - t0)
+            t_down.append(t2 - t1)
+        med = lambda s: sorted(s)[len(s) // 2]  # noqa: E731
+        return (med(tt) * 1e3 / args.e2e_frames,
+                med(t_up) * 1e3 / args.e2e_frames,
+                med(t_down) * 1e3 / args.e2e_frames)
+
     if not args.no_e2e:
+      with section("e2e"):
         # End-to-end regime the reference's 14 ms/frame actually competes
         # with (video_depth.py:166-254): frames in host RAM -> preprocess ->
         # window forwards -> stitch -> depths in host RAM, keyframe cache on.
-        # Measured FIRST (before the int8/steady sections): running the
-        # int8 fold-in beforehand measured e2e 2.2x worse in the same
-        # process (135 vs 61 ms/frame, device-residue effect on this
-        # backend), while e2e-first leaves the later sections unaffected.
+        # Measured FIRST (before the int8/steady sections). Round 3 blamed
+        # a "device program residue" for a 2.2x e2e skew when int8 ran
+        # first; the round-4 controlled experiment (tools/bench_residue.py)
+        # refuted both candidate mechanisms (memory residency and live
+        # compiled programs each move a probe <0.5%) — the skew was the
+        # tunnel's raw transfer rate drifting ~2x over time, which the
+        # pre/post floor calibration below now quantifies per record.
+        # e2e-first ordering is kept so the floor samples bracket the
+        # measurement as tightly as possible.
         from video_depth_anything_tpu.pipeline import VideoDepthPipeline
         frames = np.random.default_rng(1).integers(
             0, 255, (args.e2e_frames, args.size, args.size, 3), np.uint8)
@@ -152,6 +206,12 @@ def main():
                           transfer_fp16=args.transfer_fp16)
         kw = dict(input_size=args.size, fp32=args.fp32,
                   collect_timings=args.e2e_detail)
+        # Floor measured BEFORE and AFTER the e2e timing: this tunneled
+        # box's raw transfer rate drifts up to ~2x between sessions and
+        # even within one (round-4 finding), so a single-point floor makes
+        # the e2e/floor ratio meaningless. Both points ship in the record;
+        # a large pre/post spread says "ratio unreliable this session".
+        fl_pre = transfer_floor(frames)
         pipe.infer_video_depth(frames, **kw)  # compile
         e2e = []
         for _ in range(max(args.iters // 3, 2)):
@@ -166,36 +226,27 @@ def main():
             print(f"e2e span breakdown (last iter, total "
                   f"{e2e[-1]*1e3:.1f} ms): {pipe.timer.summary()}",
                   file=sys.stderr, flush=True)
-
-        # Host<->device transfer share of e2e, measured directly: on this
-        # tunneled dev TPU the PCIe path runs through an RPC bridge, so raw
-        # byte movement dominates e2e; on a real TPU host it is DMA (~GB/s)
-        # and e2e approaches the forward number.
-        tt, t_up, t_down = [], [], []
-        down_dt = jnp.float16 if args.transfer_fp16 else jnp.float32
-        for _ in range(3):
-            t0 = time.perf_counter()
-            dev = jnp.asarray(frames)
-            dev.block_until_ready()
-            t1 = time.perf_counter()
-            back = np.asarray(jnp.zeros(
-                (args.e2e_frames, args.size, args.size), down_dt) + dev[..., 0].astype(down_dt))
-            del back
-            t2 = time.perf_counter()
-            tt.append(t2 - t0)
-            t_up.append(t1 - t0)
-            t_down.append(t2 - t1)
+        fl_post = transfer_floor(frames)
         record["e2e_transfer_ms_per_frame"] = round(
-            sorted(tt)[len(tt) // 2] * 1000.0 / args.e2e_frames, 3)
+            (fl_pre[0] + fl_post[0]) / 2, 3)
+        record["e2e_transfer_pre_ms_per_frame"] = round(fl_pre[0], 3)
+        record["e2e_transfer_post_ms_per_frame"] = round(fl_post[0], 3)
+        # The pipeline overlaps uploads (issued one chunk ahead), downloads
+        # (copy_to_host_async + late drain) and compute, so the SERIAL
+        # up+down sum above is not a lower bound for it — the achievable
+        # floor for an overlapped pipeline is the slower single direction.
+        record["e2e_transfer_duplex_ms_per_frame"] = round(
+            (max(fl_pre[1], fl_pre[2]) + max(fl_post[1], fl_post[2])) / 2, 3)
         if args.e2e_detail:
-            print(f"transfer floor: upload {np.median(t_up)*1e3/args.e2e_frames:.2f} "
-                  f"ms/frame, download+readout {np.median(t_down)*1e3/args.e2e_frames:.2f} "
-                  f"ms/frame, e2e/floor "
+            print(f"transfer floor pre/post: up {fl_pre[1]:.2f}/{fl_post[1]:.2f}"
+                  f" down {fl_pre[2]:.2f}/{fl_post[2]:.2f} ms/frame; "
+                  f"e2e/floor "
                   f"{e2e_ms/record['e2e_transfer_ms_per_frame']:.3f}",
                   file=sys.stderr, flush=True)
         del pipe, frames
 
     if not args.no_steady and args.batch == 1 and args.frames == 32:
+      with section("steady"):
         # Steady-state long-video regime: each new window re-uses the
         # previous window's encoder features at the KEYFRAMES positions
         # (bit-identical, pipeline/infer.py::_cached_fns), so the device
@@ -252,6 +303,7 @@ def main():
         record["steady_state_ms_per_frame"] = round(steady_ms, 3)
         record["steady_state_fps_per_chip"] = round(1000.0 / steady_ms, 2)
 
+      with section("steady_batched"):
         # Batched steady state: CB windows per device step through the
         # dedup-encode + gather path (pipeline/infer.py::_batched_cached_fns
         # — the cache composed with window batching, VERDICT r3 item 5).
@@ -260,11 +312,15 @@ def main():
         # thread through the fori_loop (a real data dependency), and the
         # frame batch is perturbed by the carry so XLA cannot hoist the
         # loop-invariant encode.
-        from video_depth_anything_tpu.config import KEYFRAMES
+        from video_depth_anything_tpu.config import (FRAME_STEP, INFER_LEN,
+                                                     KEYFRAMES)
         from video_depth_anything_tpu.pipeline import (VideoDepthPipeline,
                                                        windows)
 
-        cb = 4
+        # vitl's head on 4x32 frames at 518^2 plans ~6 GiB single buffers
+        # (128x296x296x256 bf16 refinenet activations) and exhausts a
+        # 16 GiB chip; 2 windows/step fits and already amortizes dispatch.
+        cb = args.steady_batch_windows or (2 if args.encoder == "vitl" else 4)
         n_res = len(KEYFRAMES)
         m_max = cb * FRAME_STEP + (INFER_LEN - FRAME_STEP)
         pipe_b = VideoDepthPipeline(cfg, params_fwd, use_pallas=use_pallas)
@@ -318,12 +374,15 @@ def main():
         del pipe_b, frames_b, feats0, resident0
 
     if not args.int8 and not args.no_int8 and not args.fp32:
+      with section("int8"):
         # Second headline: the int8 fast mode, measured in the same run so
         # BENCH_r{N}.json always carries both numbers. Same timed fn, the
         # quantized param tree (new pytree structure) triggers a fresh
-        # compile. Measured LAST: the calibration + quantized-program
-        # compile is the residue source that skewed later sections 2.2x on
-        # this backend (DESIGN.md), so nothing timed may follow it.
+        # compile. Measured LAST so the transfer-bound e2e section sits as
+        # close as possible to its floor calibration (the once-suspected
+        # "program residue" was refuted by tools/bench_residue.py — the
+        # real confound is tunnel transfer-rate drift over minutes, so
+        # section order matters only for transfer-bound measurements).
         params_q = make_int8_params()
         float(fn(params_q, x))
         for _ in range(args.warmup):

@@ -32,6 +32,16 @@ RESULTS (v5e, 2026-08-19 session, marginal-chain timing):
   prod 3.655 ms/call | no-cost 3.535 (+3.3%) | exp2 3.793 (slower) |
   no-cost+exp2 4.543 (slower). Adopted: cost_estimate dropped from all
   attention kernels (ops/pallas_attention.py); exp2 stays off-by-default.
+
+RESULTS 'others' mode (v5e, 2026-08-20 session — ADVICE r3 #4, the
+removal re-measured on the three previously-extrapolated entry points;
+'shipped' = no estimate, '+cost' = historical estimate injected):
+  qkv_fused  4.511 ms shipped | 4.509 +cost  (-0.1%, neutral)
+  qk8        3.147 ms shipped | 3.258 +cost  (+3.5% slower WITH cost —
+             the int8 headline path benefits like the packed kernel)
+  plain      5.354 ms shipped | 5.345 +cost  (-0.2%, neutral)
+The blanket removal stands: one path measurably faster, two neutral,
+none regressed.
 """
 import functools
 import os
