@@ -18,12 +18,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # A100 fp16 ms/frame (reference README.md:51,58); vitl is the north star.
+# vitb/vitg have no published reference latency (no released VDA
+# checkpoints) — their records carry vs_baseline: null.
 BASELINES_MS_PER_FRAME = {"vits": 7.5, "vitl": 14.0}
 
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--encoder", default="vitl", choices=["vits", "vitl"])
+    parser.add_argument("--encoder", default="vitl",
+                        choices=["vits", "vitb", "vitl", "vitg"])
     parser.add_argument("--frames", type=int, default=32)
     parser.add_argument("--batch", type=int, default=1,
                         help="windows per step (throughput mode; windows are "
@@ -129,13 +132,14 @@ def main():
 
     p50 = sorted(times)[len(times) // 2]
     ms_per_frame = p50 * 1000.0 / (args.frames * args.batch * chain)
-    baseline = BASELINES_MS_PER_FRAME[args.encoder]
+    baseline = BASELINES_MS_PER_FRAME.get(args.encoder)
     suffix = "_int8" if args.int8 else ""
     record = {
         "metric": f"{args.encoder}_ms_per_frame_{args.size}{suffix}",
         "value": round(ms_per_frame, 3),
         "unit": "ms/frame",
-        "vs_baseline": round(baseline / ms_per_frame, 3),
+        "vs_baseline": (round(baseline / ms_per_frame, 3)
+                        if baseline else None),
         "batch_windows": args.batch,
         "chain": chain,
         "fps_per_chip": round(1000.0 / ms_per_frame, 2),
@@ -320,7 +324,8 @@ def main():
         # vitl's head on 4x32 frames at 518^2 plans ~6 GiB single buffers
         # (128x296x296x256 bf16 refinenet activations) and exhausts a
         # 16 GiB chip; 2 windows/step fits and already amortizes dispatch.
-        cb = args.steady_batch_windows or (2 if args.encoder == "vitl" else 4)
+        cb = args.steady_batch_windows or (
+            2 if args.encoder in ("vitl", "vitg") else 4)
         n_res = len(KEYFRAMES)
         m_max = cb * FRAME_STEP + (INFER_LEN - FRAME_STEP)
         pipe_b = VideoDepthPipeline(cfg, params_fwd, use_pallas=use_pallas)
@@ -395,7 +400,8 @@ def main():
         ms8 = (sorted(t8)[len(t8) // 2] * 1000.0
                / (args.frames * args.batch * chain))
         record[f"{args.encoder}_ms_per_frame_{args.size}_int8"] = round(ms8, 3)
-        record["int8_vs_baseline"] = round(baseline / ms8, 3)
+        record["int8_vs_baseline"] = (round(baseline / ms8, 3)
+                                      if baseline else None)
         record["int8_fps_per_chip"] = round(1000.0 / ms8, 2)
         del params_q
 

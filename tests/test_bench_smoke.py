@@ -1,0 +1,62 @@
+"""bench.py end-to-end smoke test (CPU, tiny shapes).
+
+The driver runs `python bench.py` on the real TPU at the end of every
+round and records its single JSON line as BENCH_r{N}.json — a top-level
+crash there loses the round's perf record. The per-section guards in
+bench.py only protect the *optional* sections (e2e / steady / int8), so
+this test executes the full default flow — headline timing + all three
+optional sections — at toy size on CPU and asserts the record is complete
+and error-free.
+
+Reference regime being benchmarked: /root/reference/README.md:49-64
+(A100 ms/frame at 1x32x518x518); here shrunk to 70 px for CI.
+"""
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_full_record_smoke():
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("XLA_FLAGS", None)
+    res = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py"),
+         "--encoder", "vits", "--size", "70", "--iters", "1",
+         "--warmup", "0", "--chain", "1", "--e2e_frames", "54"],
+        capture_output=True, text=True, env=env, cwd=ROOT, timeout=1800)
+    assert res.returncode == 0, f"bench.py failed:\n{res.stdout}\n{res.stderr}"
+
+    # Exactly one JSON line on stdout (the driver parses stdout as the record).
+    lines = [ln for ln in res.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected 1 stdout line, got: {lines}"
+    record = json.loads(lines[0])
+
+    # Headline keys the driver contract requires.
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in record, (key, record)
+    assert record["metric"] == "vits_ms_per_frame_70"
+    assert record["unit"] == "ms/frame"
+    assert record["value"] > 0
+
+    # Every optional section completed (no <section>_error recorded).
+    errs = {k: v for k, v in record.items() if k.endswith("_error")}
+    assert not errs, errs
+
+    # e2e section: floor calibration ships pre AND post plus the duplex
+    # (overlapped-pipeline) floor.
+    for key in ("e2e_ms_per_frame", "e2e_transfer_ms_per_frame",
+                "e2e_transfer_pre_ms_per_frame",
+                "e2e_transfer_post_ms_per_frame",
+                "e2e_transfer_duplex_ms_per_frame"):
+        assert key in record and record[key] > 0, (key, record)
+
+    # steady-state sections (sequential cache + batched dedup-encode).
+    for key in ("steady_state_ms_per_frame", "steady_state_batched_ms_per_frame"):
+        assert key in record and record[key] > 0, (key, record)
+    assert record["steady_state_batched_windows"] >= 2
+
+    # int8 fold-in (second headline).
+    assert record["vits_ms_per_frame_70_int8"] > 0
