@@ -10,7 +10,15 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate" not in _flags:
+    # 8 virtual device threads share one physical core here; XLA CPU's
+    # collective rendezvous hard-aborts the process (F-check in
+    # rendezvous.cc) when a starved participant misses its default 40 s
+    # window. Raise the ceilings so oversubscription waits, not aborts.
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = _flags
 
 # This image pre-imports jax from a sitecustomize (TPU plugin registration),
 # so the env vars above are too late for jax.config — override explicitly

@@ -26,7 +26,13 @@ def test_dryrun_multichip_inprocess():
     graft.dryrun_multichip(8)
 
 
-def test_dryrun_multichip_subprocess_self_provision():
+def test_dryrun_multichip_subprocess_self_provision(monkeypatch):
     # More devices than this process has -> must re-exec with a virtual
     # CPU mesh of the requested size (the driver-environment scenario).
-    graft.dryrun_multichip(16)
+    # tiny sections: the re-exec mechanics are under test here; the full
+    # (vitl-dims) dryrun runs in-process above and in the driver. 10 (not
+    # 16) virtual devices: every extra device thread oversubscribes the
+    # single host core and pushes the collective rendezvous toward its
+    # termination timeout.
+    monkeypatch.setenv("_VDA_DRYRUN_SECTIONS", "tiny")
+    graft.dryrun_multichip(10)
