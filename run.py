@@ -61,6 +61,12 @@ def main():
                              "(half the download bytes / multi-host "
                              "allgather); outputs are still fp32 with "
                              "2^-11-relative readout rounding")
+    parser.add_argument("--compile_cache", type=str, nargs="?", const="",
+                        default=None, metavar="DIR",
+                        help="persist XLA-compiled programs to DIR (default "
+                             "~/.cache/video_depth_anything_tpu/xla) so "
+                             "repeat runs skip the ~20-40s window compile; "
+                             "also enabled via VDA_COMPILE_CACHE")
     parser.add_argument("--decode_backend", type=str, default=None,
                         choices=["cv2", "ffmpeg"],
                         help="video decode backend (default cv2, or "
@@ -71,6 +77,13 @@ def main():
     args = parser.parse_args()
 
     import jax
+
+    from video_depth_anything_tpu.utils import compile_cache
+    if args.compile_cache is not None:
+        print("compilation cache:",
+              compile_cache.enable_compile_cache(args.compile_cache or None))
+    else:
+        compile_cache.maybe_enable_from_env()
 
     from video_depth_anything_tpu.config import get_model_config
     from video_depth_anything_tpu.models.video_depth import init_params

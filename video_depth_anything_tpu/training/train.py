@@ -236,7 +236,18 @@ def main(argv=None):
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host: jax.distributed.initialize + "
                              "global mesh + per-host data feeding")
+    parser.add_argument("--compile_cache", type=str, nargs="?", const="",
+                        default=None, metavar="DIR",
+                        help="persist XLA-compiled train/val programs to DIR "
+                             "(default ~/.cache/video_depth_anything_tpu/xla)"
+                             "; also enabled via VDA_COMPILE_CACHE")
     args = parser.parse_args(argv)
+    from ..utils import compile_cache
+    if args.compile_cache is not None:
+        print("compilation cache:",
+              compile_cache.enable_compile_cache(args.compile_cache or None))
+    else:
+        compile_cache.maybe_enable_from_env()
     train(args.config, args.data_root, args.google_image_root,
           args.google_depth_root, args.out_dir, args.max_steps, args.resume,
           distributed=args.distributed)
