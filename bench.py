@@ -23,6 +23,41 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINES_MS_PER_FRAME = {"vits": 7.5, "vitl": 14.0}
 
 
+def _device_unreachable(timeout_s, _probe=None):
+    """Probe device acquisition + one tiny op under a deadline.
+
+    Over the dev tunnel a dead remote backend makes jax.devices() retry
+    forever (observed: the axon client loops on refused connections), which
+    would hang the whole benchmark and lose the record. The probe runs in a
+    daemon thread; on timeout the caller emits an error record and exits
+    instead of hanging. Returns None when healthy, else an error string.
+    """
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            if _probe is not None:
+                _probe()
+            else:
+                import jax
+                import jax.numpy as jnp
+                result["devices"] = [str(d) for d in jax.devices()]
+                float(jnp.zeros((), jnp.float32) + 1.0)
+            result["ok"] = True
+        except Exception as e:  # noqa: BLE001 — report, don't crash
+            result["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return (f"device acquisition exceeded {timeout_s:.0f}s "
+                "(backend unreachable?)")
+    return result.get("error")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--encoder", default="vitl",
@@ -70,7 +105,28 @@ def main():
                              "metric (0 = auto: 2 for vitl, 4 for vits — "
                              "vitl's head at 4x32 frames/518^2 exceeds a "
                              "16 GiB chip's HBM)")
+    parser.add_argument("--device_timeout", type=float, default=600.0,
+                        help="seconds allowed for backend/device acquisition "
+                             "before emitting an error record instead of "
+                             "hanging (dead RPC tunnels retry forever)")
     args = parser.parse_args()
+
+    from video_depth_anything_tpu.utils.platform_env import (
+        honor_jax_platforms_env)
+    honor_jax_platforms_env()
+
+    err = _device_unreachable(args.device_timeout)
+    if err is not None:
+        print(json.dumps({
+            "metric": f"{args.encoder}_ms_per_frame_{args.size}"
+                      + ("_int8" if args.int8 else ""),
+            "value": None, "unit": "ms/frame", "vs_baseline": None,
+            "error": err,
+        }))
+        # Threads may be wedged inside the backend RPC — leave no chance
+        # for interpreter shutdown to block on them.
+        sys.stdout.flush()
+        os._exit(1)
 
     import jax
     import jax.numpy as jnp

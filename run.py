@@ -76,6 +76,10 @@ def main():
                              "+-1/255 on a few pixels")
     args = parser.parse_args()
 
+    from video_depth_anything_tpu.utils.platform_env import (
+        honor_jax_platforms_env)
+    honor_jax_platforms_env()
+
     import jax
 
     from video_depth_anything_tpu.utils import compile_cache

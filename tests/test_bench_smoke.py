@@ -60,3 +60,22 @@ def test_bench_full_record_smoke():
 
     # int8 fold-in (second headline).
     assert record["vits_ms_per_frame_70_int8"] > 0
+
+
+def test_device_watchdog():
+    """A wedged backend RPC must yield an error record, not a hang.
+
+    Observed failure mode: a dead tunnel makes jax.devices() retry refused
+    connections forever. The watchdog (bench._device_unreachable) probes in
+    a daemon thread under a deadline; here the probe is stubbed."""
+    import time
+
+    sys.path.insert(0, ROOT)
+    import bench
+
+    assert bench._device_unreachable(30.0, _probe=lambda: None) is None
+    err = bench._device_unreachable(0.2, _probe=lambda: time.sleep(60))
+    assert err and "exceeded" in err
+    err = bench._device_unreachable(
+        30.0, _probe=lambda: (_ for _ in ()).throw(OSError("tunnel reset")))
+    assert err and "tunnel reset" in err

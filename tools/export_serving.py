@@ -45,6 +45,9 @@ def main():
                     "against the live pipeline on this host's backend")
     args = ap.parse_args()
 
+    from video_depth_anything_tpu.utils.platform_env import (
+        honor_jax_platforms_env)
+    honor_jax_platforms_env()
     from video_depth_anything_tpu.config import get_model_config
     from video_depth_anything_tpu.utils import serving_export
 

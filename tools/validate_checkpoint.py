@@ -133,6 +133,9 @@ def validate_one(path, encoder=None, video=None, input_size=None,
 
 
 def main():
+    from video_depth_anything_tpu.utils.platform_env import (
+        honor_jax_platforms_env)
+    honor_jax_platforms_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("checkpoint", nargs="?", default=None,
                         help=".pth/.npz; default: scan ./checkpoints/")

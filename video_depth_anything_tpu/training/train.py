@@ -242,6 +242,8 @@ def main(argv=None):
                              "(default ~/.cache/video_depth_anything_tpu/xla)"
                              "; also enabled via VDA_COMPILE_CACHE")
     args = parser.parse_args(argv)
+    from ..utils.platform_env import honor_jax_platforms_env
+    honor_jax_platforms_env()
     from ..utils import compile_cache
     if args.compile_cache is not None:
         print("compilation cache:",

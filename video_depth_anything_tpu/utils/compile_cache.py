@@ -15,6 +15,12 @@ to keep tiny programs out of the cache.
 Used by `run.py --compile_cache [DIR]`, `training/train.py
 --compile_cache`, and honored globally via the `VDA_COMPILE_CACHE` env
 var (any entry point that calls `maybe_enable_from_env`).
+
+Caveat (CPU backend only): XLA:CPU AOT entries embed the compile host's
+CPU feature list and warn on load when the detected host features differ
+(execution still proceeds; worst case across truly different hosts is
+SIGILL). Share a cache dir across machines only for TPU programs, where
+the key includes the exact device fingerprint.
 """
 import os
 
