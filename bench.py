@@ -24,38 +24,11 @@ BASELINES_MS_PER_FRAME = {"vits": 7.5, "vitl": 14.0}
 
 
 def _device_unreachable(timeout_s, _probe=None):
-    """Probe device acquisition + one tiny op under a deadline.
-
-    Over the dev tunnel a dead remote backend makes jax.devices() retry
-    forever (observed: the axon client loops on refused connections), which
-    would hang the whole benchmark and lose the record. The probe runs in a
-    daemon thread; on timeout the caller emits an error record and exits
-    instead of hanging. Returns None when healthy, else an error string.
-    """
-    import threading
-
-    result = {}
-
-    def probe():
-        try:
-            if _probe is not None:
-                _probe()
-            else:
-                import jax
-                import jax.numpy as jnp
-                result["devices"] = [str(d) for d in jax.devices()]
-                float(jnp.zeros((), jnp.float32) + 1.0)
-            result["ok"] = True
-        except Exception as e:  # noqa: BLE001 — report, don't crash
-            result["error"] = repr(e)
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if t.is_alive():
-        return (f"device acquisition exceeded {timeout_s:.0f}s "
-                "(backend unreachable?)")
-    return result.get("error")
+    """Probe the backend under a deadline (utils/platform_env.py): a dead
+    tunnel or wedged remote executor would otherwise hang the whole
+    benchmark and lose the round's record."""
+    from video_depth_anything_tpu.utils.platform_env import backend_unreachable
+    return backend_unreachable(timeout_s, _probe=_probe)
 
 
 def main():

@@ -77,8 +77,15 @@ def main():
     args = parser.parse_args()
 
     from video_depth_anything_tpu.utils.platform_env import (
-        honor_jax_platforms_env)
+        backend_unreachable, honor_jax_platforms_env)
     honor_jax_platforms_env()
+    # Fail fast instead of hanging forever when the device tunnel is dead
+    # or the remote executor is wedged (VDA_DEVICE_TIMEOUT seconds, 0 = skip).
+    probe_s = float(os.environ.get("VDA_DEVICE_TIMEOUT", "600"))
+    if probe_s > 0:
+        err = backend_unreachable(probe_s)
+        if err is not None:
+            sys.exit(f"accelerator backend unavailable: {err}")
 
     import jax
 

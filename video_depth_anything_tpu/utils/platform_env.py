@@ -31,3 +31,41 @@ def honor_jax_platforms_env():
     except RuntimeError:
         return None  # backend already live — too late to switch
     return want
+
+
+def backend_unreachable(timeout_s, _probe=None):
+    """Probe device acquisition + one tiny execute under a deadline.
+
+    A dead RPC tunnel makes jax.devices() (or the first dispatch) retry
+    refused connections forever; a wedged remote executor accepts device
+    discovery but never completes an op — both observed on this image.
+    The probe runs in a daemon thread so a hang cannot take the caller
+    with it. Returns None when healthy, else an error string; callers
+    should fail fast with it (bench.py emits an error record, run.py
+    exits with a message). The deadline only covers backend bring-up +
+    one trivial op, never real compiles — generous values are fine.
+    """
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            if _probe is not None:
+                _probe()
+            else:
+                import jax
+                import jax.numpy as jnp
+                result["devices"] = [str(d) for d in jax.devices()]
+                float(jnp.zeros((), jnp.float32) + 1.0)
+            result["ok"] = True
+        except Exception as e:  # noqa: BLE001 — report, don't crash
+            result["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return (f"backend probe exceeded {timeout_s:.0f}s "
+                "(device tunnel down or executor wedged?)")
+    return result.get("error")
