@@ -58,6 +58,37 @@ def test_export_roundtrip_matches_pipeline(tmp_path):
     assert meta["encoder"] == cfg.encoder
 
 
+def test_export_int8_quantized_tree(tmp_path):
+    """int8 artifact: quantized-pytree avals, bit-exact vs direct forward."""
+    import jax.numpy as jnp
+
+    from video_depth_anything_tpu.pipeline import preprocess
+
+    cfg = _toy_cfg()
+    params = init_params(0, cfg)
+    rng = np.random.default_rng(3)
+    src_hw = (28, 28)
+    win = rng.integers(0, 256, size=(1, 32, *src_hw, 3), dtype=np.uint8)
+    eff = preprocess.effective_input_size(*src_hw, 28)
+    net_hw = preprocess.network_input_hw(*src_hw, eff)
+
+    p_q = serving_export.quantize_for_serving(params, win, cfg, net_hw,
+                                              fp32=True)
+    # Quantization actually happened (int8 leaves exist in the tree).
+    leaves = jax.tree.leaves(p_q)
+    assert any(a.dtype == jnp.int8 for a in leaves)
+
+    exp = serving_export.export_window_program(cfg, src_hw, input_size=28,
+                                               fp32=True, quant="int8")
+    loaded = jax.export.deserialize(exp.serialize())
+    got = np.asarray(loaded.call(p_q, win))
+
+    oracle = jax.jit(serving_export.build_window_fn(
+        cfg, net_hw, src_hw, np.float32, 1))
+    want = np.asarray(oracle(p_q, win))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_export_bf16_and_batched_windows(tmp_path):
     cfg = _toy_cfg()
     params = init_params(0, cfg)

@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--use_pallas", action="store_true",
                     help="embed the Pallas attention custom call "
                     "(TPU-only artifact)")
+    ap.add_argument("--int8", action="store_true",
+                    help="export over the int8-quantized param tree "
+                    "(serving host quantizes once via calibrate_stats + "
+                    "quantize_model, or the persisted .int8calib.npz)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--verify", action="store_true",
                     help="deserialize and compare one random window "
@@ -55,39 +59,45 @@ def main():
     exp = serving_export.export_window_program(
         cfg, tuple(args.src_hw), input_size=args.input_size, fp32=args.fp32,
         windows_per_batch=args.windows_per_batch, platforms=args.platforms,
-        use_pallas=args.use_pallas)
+        use_pallas=args.use_pallas, quant="int8" if args.int8 else None)
     serving_export.save_exported(exp, args.output, {
         "encoder": args.encoder, "metric": args.metric,
         "src_hw": list(args.src_hw), "input_size": args.input_size,
         "fp32": args.fp32, "windows_per_batch": args.windows_per_batch,
         "use_pallas": args.use_pallas,
+        "quant": "int8" if args.int8 else None,
     })
     size = os.path.getsize(args.output)
     print(f"wrote {args.output} ({size / 1e6:.1f} MB, "
           f"platforms={list(exp.platforms)})")
 
     if args.verify:
+        import jax
         import numpy as np
 
         from video_depth_anything_tpu.models.video_depth import init_params
-        from video_depth_anything_tpu.pipeline import (VideoDepthPipeline,
-                                                       preprocess)
+        from video_depth_anything_tpu.pipeline import preprocess
 
         params = init_params(0, cfg)
-        p = serving_export.cast_params(params, fp32=args.fp32)
         rng = np.random.default_rng(0)
         win = rng.integers(0, 256, size=(args.windows_per_batch, 32,
                                          *args.src_hw, 3), dtype=np.uint8)
-        loaded = serving_export.load_exported(args.output)
-        got = np.asarray(loaded.call(p, win))
         eff = preprocess.effective_input_size(*args.src_hw, args.input_size)
         net_hw = preprocess.network_input_hw(*args.src_hw, eff)
-        pipe = VideoDepthPipeline(cfg, params, use_pallas=args.use_pallas)
+        if args.int8:
+            p = serving_export.quantize_for_serving(params, win, cfg, net_hw,
+                                                    fp32=args.fp32)
+        else:
+            p = serving_export.cast_params(params, fp32=args.fp32)
+        loaded = serving_export.load_exported(args.output)
+        got = np.asarray(loaded.call(p, win))
         dt = np.float32 if args.fp32 else "bfloat16"
-        want = np.asarray(pipe._window_fn(net_hw, tuple(args.src_hw), dt)(
-            p, win))
+        oracle = jax.jit(serving_export.build_window_fn(
+            cfg, net_hw, tuple(args.src_hw), dt, args.windows_per_batch,
+            use_pallas=args.use_pallas))
+        want = np.asarray(oracle(p, win))
         np.testing.assert_array_equal(got, want)
-        print("verify: artifact output == live pipeline (bit-exact)")
+        print("verify: artifact output == live program (bit-exact)")
 
 
 if __name__ == "__main__":

@@ -42,9 +42,46 @@ def cast_params(params, fp32: bool = False):
         params)
 
 
+def build_window_fn(cfg: ModelConfig, net_hw, src_hw, dtype, c: int,
+                    use_pallas: bool = False):
+    """The window program body (`VideoDepthPipeline._window_fn` semantics):
+    `(params, win_u8 [c,32,src_h,src_w,3] u8) -> [c,32,src_h,src_w] f32`.
+    Shared by the exporter and by verification oracles."""
+    src_h, src_w = src_hw
+
+    def fn(params, win_u8):
+        x = preprocess.preprocess_frames(win_u8, net_hw, dtype=dtype)
+        depth = video_depth.forward(params, x, cfg, use_pallas=use_pallas)
+        d = depth.reshape(c * INFER_LEN, *depth.shape[2:], 1)
+        d = resize_bilinear_align_corners(d.astype(jnp.float32),
+                                          (src_h, src_w))
+        return d[..., 0].reshape(c, INFER_LEN, src_h, src_w)
+
+    return fn
+
+
+def quantize_for_serving(params, calib_win_u8, cfg: ModelConfig,
+                         net_hw, fp32: bool = False):
+    """Build the int8 param tree an int8 artifact expects.
+
+    Mirrors the pipeline's first-window calibration: preprocess the uint8
+    calibration window to `net_hw`, run the stat-collecting forward, and
+    quantize. `calib_win_u8`: [c, 32, H, W, 3] uint8 at source resolution.
+    """
+    dtype = jnp.float32 if fp32 else jnp.bfloat16
+    p = cast_params(params, fp32=fp32)
+    x = preprocess.preprocess_frames(jnp.asarray(calib_win_u8), net_hw,
+                                     dtype=dtype)
+    stats = jax.device_get(
+        jax.jit(lambda pp, xx: video_depth.calibrate_stats(
+            pp, xx, cfg, use_pallas=False))(p, x))
+    return video_depth.quantize_model(p, stats, cfg)
+
+
 def export_window_program(cfg: ModelConfig, src_hw, input_size: int = 518,
                           fp32: bool = False, windows_per_batch: int = 1,
-                          platforms=None, use_pallas: bool = False):
+                          platforms=None, use_pallas: bool = False,
+                          quant: str | None = None):
     """Export the window program for fixed source geometry.
 
     Mirrors `VideoDepthPipeline._window_fn` exactly: the exported callable
@@ -65,27 +102,38 @@ def export_window_program(cfg: ModelConfig, src_hw, input_size: int = 518,
         call; requires serving jax to accept `tpu_custom_call`). Off by
         default for maximal artifact portability — XLA attention is
         numerically interchangeable.
+      quant: "int8" exports the program over the int8-quantized param
+        tree (w8a8 encoder/temporal matmuls, ops/quant.py); the serving
+        host builds that tree once via calibrate_stats + quantize_model
+        (or the pipeline's persisted `<ckpt>.int8calib.npz`) and passes
+        it as the params argument.
 
     Returns a `jax.export.Exported`.
     """
+    assert quant in (None, "int8"), quant
     src_h, src_w = int(src_hw[0]), int(src_hw[1])
     eff = preprocess.effective_input_size(src_h, src_w, input_size)
     net_hw = preprocess.network_input_hw(src_h, src_w, eff)
     dtype = jnp.float32 if fp32 else jnp.bfloat16
     c = int(windows_per_batch)
-
-    def fn(params, win_u8):
-        x = preprocess.preprocess_frames(win_u8, net_hw, dtype=dtype)
-        depth = video_depth.forward(params, x, cfg, use_pallas=use_pallas)
-        d = depth.reshape(c * INFER_LEN, *depth.shape[2:], 1)
-        d = resize_bilinear_align_corners(d.astype(jnp.float32),
-                                          (src_h, src_w))
-        return d[..., 0].reshape(c, INFER_LEN, src_h, src_w)
+    fn = build_window_fn(cfg, net_hw, (src_h, src_w), dtype, c,
+                         use_pallas=use_pallas)
 
     p_avals = jax.tree.map(
         lambda s: jax.ShapeDtypeStruct(
             s.shape, dtype if s.dtype == jnp.float32 else s.dtype),
         video_depth.param_shapes(cfg))
+    if quant == "int8":
+        # Abstract-shape the quantized pytree: calibration stats and the
+        # w_i8/ws leaves are pure shape functions of the fp tree.
+        x_aval = jax.ShapeDtypeStruct((c, INFER_LEN, *net_hw, 3), dtype)
+        stats_avals = jax.eval_shape(
+            lambda p, xx: video_depth.calibrate_stats(p, xx, cfg,
+                                                      use_pallas=False),
+            p_avals, x_aval)
+        p_avals = jax.eval_shape(
+            lambda p, s: video_depth.quantize_model(p, s, cfg),
+            p_avals, stats_avals)
     win_aval = jax.ShapeDtypeStruct((c, INFER_LEN, src_h, src_w, 3),
                                     jnp.uint8)
 
