@@ -79,27 +79,45 @@ def main():
                              "vitl's head at 4x32 frames/518^2 exceeds a "
                              "16 GiB chip's HBM)")
     parser.add_argument("--device_timeout", type=float, default=600.0,
-                        help="seconds allowed for backend/device acquisition "
-                             "before emitting an error record instead of "
-                             "hanging (dead RPC tunnels retry forever)")
+                        help="total seconds allowed for backend/device "
+                             "acquisition before emitting an error record "
+                             "instead of hanging (dead RPC tunnels retry "
+                             "forever). Spent as 3 probe slices with backoff "
+                             "so a tunnel wedge that clears mid-budget still "
+                             "yields a record; 0 = skip the probe entirely")
     args = parser.parse_args()
 
     from video_depth_anything_tpu.utils.platform_env import (
+        backend_unreachable_retry, fresh_process_probe,
         honor_jax_platforms_env)
     honor_jax_platforms_env()
 
-    err = _device_unreachable(args.device_timeout)
-    if err is not None:
-        print(json.dumps({
-            "metric": f"{args.encoder}_ms_per_frame_{args.size}"
-                      + ("_int8" if args.int8 else ""),
-            "value": None, "unit": "ms/frame", "vs_baseline": None,
-            "error": err,
-        }))
-        # Threads may be wedged inside the backend RPC — leave no chance
-        # for interpreter shutdown to block on them.
-        sys.stdout.flush()
-        os._exit(1)
+    if args.device_timeout > 0:
+        err = backend_unreachable_retry(args.device_timeout)
+        if err is not None and not os.environ.get("VDA_BENCH_REEXECED"):
+            # The in-process probe is stuck, but is the TUNNEL dead or just
+            # this process's backend connection? A fresh subprocess probe
+            # decides: if it succeeds, re-exec for a clean connection (one
+            # attempt, env-guarded against loops) instead of forfeiting the
+            # round's record to a wedged executor handle.
+            if fresh_process_probe(min(90.0, args.device_timeout)):
+                print("[bench] backend healthy from a fresh process but "
+                      "wedged in this one; re-exec'ing for a clean "
+                      "connection", file=sys.stderr, flush=True)
+                os.environ["VDA_BENCH_REEXECED"] = "1"
+                sys.stdout.flush()
+                os.execv(sys.executable, [sys.executable] + sys.argv)
+        if err is not None:
+            print(json.dumps({
+                "metric": f"{args.encoder}_ms_per_frame_{args.size}"
+                          + ("_int8" if args.int8 else ""),
+                "value": None, "unit": "ms/frame", "vs_baseline": None,
+                "error": err,
+            }))
+            # Threads may be wedged inside the backend RPC — leave no chance
+            # for interpreter shutdown to block on them.
+            sys.stdout.flush()
+            os._exit(1)
 
     import jax
     import jax.numpy as jnp

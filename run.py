@@ -77,15 +77,26 @@ def main():
     args = parser.parse_args()
 
     from video_depth_anything_tpu.utils.platform_env import (
-        backend_unreachable, honor_jax_platforms_env)
+        backend_unreachable_retry, honor_jax_platforms_env)
     honor_jax_platforms_env()
     # Fail fast instead of hanging forever when the device tunnel is dead
-    # or the remote executor is wedged (VDA_DEVICE_TIMEOUT seconds, 0 = skip).
-    probe_s = float(os.environ.get("VDA_DEVICE_TIMEOUT", "600"))
+    # or the remote executor is wedged (VDA_DEVICE_TIMEOUT seconds, 0 =
+    # skip). A user-facing CLI should give up in ~1.5 min, not 10 (the
+    # long default stays on bench.py, where losing a round's record is
+    # worse than waiting); the budget is spent as 3 probe slices so a
+    # wedge that clears mid-budget still proceeds.
+    probe_s = float(os.environ.get("VDA_DEVICE_TIMEOUT", "90"))
     if probe_s > 0:
-        err = backend_unreachable(probe_s)
+        err = backend_unreachable_retry(probe_s)
         if err is not None:
-            sys.exit(f"accelerator backend unavailable: {err}")
+            # The probe thread is still wedged inside the backend RPC;
+            # normal interpreter shutdown (sys.exit) can block on JAX
+            # atexit teardown against the dead backend — hard-exit like
+            # bench.py (round-4 advisor finding).
+            print(f"accelerator backend unavailable: {err}\n"
+                  "(set VDA_DEVICE_TIMEOUT to adjust the probe budget, "
+                  "0 to skip)", file=sys.stderr, flush=True)
+            os._exit(1)
 
     import jax
 
