@@ -85,8 +85,9 @@ def main():
         eff = preprocess.effective_input_size(*args.src_hw, args.input_size)
         net_hw = preprocess.network_input_hw(*args.src_hw, eff)
         if args.int8:
-            p = serving_export.quantize_for_serving(params, win, cfg, net_hw,
-                                                    fp32=args.fp32)
+            p = serving_export.quantize_for_serving(
+                params, win, cfg, net_hw, fp32=args.fp32,
+                use_pallas=args.use_pallas)
         else:
             p = serving_export.cast_params(params, fp32=args.fp32)
         loaded = serving_export.load_exported(args.output)

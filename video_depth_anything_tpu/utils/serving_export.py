@@ -61,12 +61,19 @@ def build_window_fn(cfg: ModelConfig, net_hw, src_hw, dtype, c: int,
 
 
 def quantize_for_serving(params, calib_win_u8, cfg: ModelConfig,
-                         net_hw, fp32: bool = False):
+                         net_hw, fp32: bool = False,
+                         use_pallas: bool = False):
     """Build the int8 param tree an int8 artifact expects.
 
     Mirrors the pipeline's first-window calibration: preprocess the uint8
     calibration window to `net_hw`, run the stat-collecting forward, and
     quantize. `calib_win_u8`: [c, 32, H, W, 3] uint8 at source resolution.
+
+    Pass the SAME `use_pallas` the artifact was exported with: activation
+    absmaxes differ slightly between the Pallas and XLA attention paths,
+    so calibrating with a mismatched kernel yields int8 scales that
+    diverge from the pipeline's persisted `<ckpt>.int8calib.npz` (round-4
+    advisor finding).
     """
     dtype = jnp.float32 if fp32 else jnp.bfloat16
     p = cast_params(params, fp32=fp32)
@@ -74,7 +81,7 @@ def quantize_for_serving(params, calib_win_u8, cfg: ModelConfig,
                                      dtype=dtype)
     stats = jax.device_get(
         jax.jit(lambda pp, xx: video_depth.calibrate_stats(
-            pp, xx, cfg, use_pallas=False))(p, x))
+            pp, xx, cfg, use_pallas=use_pallas))(p, x))
     return video_depth.quantize_model(p, stats, cfg)
 
 
