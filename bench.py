@@ -374,25 +374,30 @@ def main():
         cb = args.steady_batch_windows or (
             2 if args.encoder in ("vitl", "vitg") else 4)
         n_res = len(KEYFRAMES)
-        m_max = cb * FRAME_STEP + (INFER_LEN - FRAME_STEP)
+        # Steady-state bucket (round 5): mid-stream chunks encode exactly
+        # 22*CB new frames — the worst-case 22*CB+10 shape is only ever
+        # compiled for chunk 0, so the steady measurement uses the steady
+        # bucket the pipeline now pads to (pipeline/infer.py).
+        m_steady = cb * FRAME_STEP
         pipe_b = VideoDepthPipeline(cfg, params_fwd, use_pallas=use_pallas)
         net_hw = (args.size, args.size)
         encode_b, head_gather = pipe_b._batched_cached_fns(
-            net_hw, net_hw, dtype, cb, m_max)
+            net_hw, net_hw, dtype, cb, m_steady)
         # Mid-stream chunk geometry (windows 4..7 of a long video): slot
         # map = 10 resident + the chunk's deduplicated new frames.
         idx_all = windows.window_indices(400)
         sel = idx_all[cb:2 * cb]
         res_ids = idx_all[cb - 1][np.asarray(KEYFRAMES)]
         new_ids = np.setdiff1d(np.unique(sel), res_ids)
+        assert len(new_ids) == m_steady, (len(new_ids), m_steady)
         slot = {int(f): j for j, f in enumerate(res_ids)}
         slot.update({int(f): n_res + j for j, f in enumerate(new_ids)})
         rel = jnp.asarray([slot[int(f)] for f in sel.reshape(-1)], jnp.int32)
         res_rel = jnp.asarray([slot[int(f)] for f in sel[-1][np.asarray(KEYFRAMES)]],
                               jnp.int32)
         frames_b = jnp.asarray(
-            np.random.default_rng(2).random((m_max, args.size, args.size, 3)),
-            jnp.float32)
+            np.random.default_rng(2).random((m_steady, args.size, args.size,
+                                             3)), jnp.float32)
 
         @jax.jit
         def steady_batched(p, resident, fb):

@@ -53,7 +53,13 @@ def test_sharded_inference_with_cache_matches_cache_off():
     on, _ = pipe.infer_video_depth(frames, input_size=28, fp32=True,
                                    windows_per_batch=4,
                                    cache_keyframe_features=True)
-    np.testing.assert_allclose(on, off, rtol=1e-6, atol=1e-6)
+    # Not bit-parity under a mesh: the cached path encodes shape-bucketed
+    # frame batches (round-5 steady bucket, pipeline/infer.py) while the
+    # plain path encodes [C,32,...] windows, so XLA picks different
+    # tilings and float accumulation orders (measured: a handful of
+    # elements at ~1e-6). Bit-level cache parity is pinned single-device
+    # by test_pipeline_parity.py::test_keyframe_feature_cache_exact.
+    np.testing.assert_allclose(on, off, rtol=1e-5, atol=1e-5)
     # single-device unsharded oracle
     single = VideoDepthPipeline(cfg, params, use_pallas=False)
     ref, _ = single.infer_video_depth(frames, input_size=28, fp32=True,
