@@ -56,6 +56,14 @@ def main():
     from video_depth_anything_tpu.utils import serving_export
 
     cfg = get_model_config(args.encoder, metric=args.metric)
+    if (args.platforms and "tpu" in args.platforms
+            and not args.use_pallas):
+        # Round-5 TPU measurement (tools/bench_serving_artifact.py): the
+        # XLA-attention artifact serves ~6% slower than the Pallas one.
+        print("note: TPU-targeted artifact without --use_pallas will "
+              "serve XLA attention (~6% slower than the Pallas kernel "
+              "the live pipeline runs); pass --use_pallas for TPU "
+              "deployments", file=sys.stderr)
     exp = serving_export.export_window_program(
         cfg, tuple(args.src_hw), input_size=args.input_size, fp32=args.fp32,
         windows_per_batch=args.windows_per_batch, platforms=args.platforms,
