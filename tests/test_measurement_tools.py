@@ -32,7 +32,10 @@ def test_bench_compile_cache_smoke(tmp_path):
                 "--size", "70", "--cache_dir", str(tmp_path)])
     assert rec["cold_s"] > 0 and rec["warm_s"] > 0
     # The warm child must actually hit the cache (cold wrote one entry).
-    assert rec["warm_s"] < rec["cold_s"], rec
+    # Measured margin is ~12x at this size; 0.8 leaves room for scheduler
+    # noise on the contended single-core CI box without masking a real
+    # cache miss (which would make warm ≈ cold).
+    assert rec["warm_s"] < rec["cold_s"] * 0.8, rec
     assert os.listdir(tmp_path), "no cache entry persisted"
 
 

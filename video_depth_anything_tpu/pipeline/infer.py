@@ -284,7 +284,7 @@ class VideoDepthPipeline:
         self._forward_jit[key] = fns
         return fns
 
-    def _batched_cached_fns(self, net_hw, src_hw, dtype, c: int, m_max: int):
+    def _batched_cached_fns(self, net_hw, src_hw, dtype, c: int):
         """Keyframe-feature-cached path for BATCHED/mesh-sharded windows.
 
         The sequential `reuse` chain of _cached_fns can't batch (window k's
@@ -305,9 +305,12 @@ class VideoDepthPipeline:
           head_gather(params, resident, new_feats, rel [C*32], res_rel [10])
               -> (depths [C,32,H,W] fp32, next_resident)
         where the feature table is concat(resident, new_feats) on the frame
-        axis and rel/res_rel index into it (host-computed slot maps).
+        axis and rel/res_rel index into it (host-computed slot maps). Both
+        fns are shape-polymorphic in M (jit specializes per encode-batch
+        bucket: callers pad chunk 0 to 22C+10 rows, steady chunks to 22C —
+        the round-5 steady-bucket scheme).
         """
-        key = ("bcached", net_hw, src_hw, jnp.dtype(dtype).name, c, m_max)
+        key = ("bcached", net_hw, src_hw, jnp.dtype(dtype).name, c)
         if key in self._forward_jit:
             return self._forward_jit[key]
         cfg = self.cfg
@@ -515,7 +518,7 @@ class VideoDepthPipeline:
                               jnp.asarray(res_rel)))
                 res_ids = last_kf
             encode_b, head_gather = self._batched_cached_fns(
-                net_hw, (src_h, src_w), dtype, c, m_max)
+                net_hw, (src_h, src_w), dtype, c)
             resident = None
 
         def upload(i):
@@ -757,7 +760,7 @@ class VideoDepthPipeline:
             m_max = -(-m_max // nd) * nd
             m_steady = -(-m_steady // nd) * nd
         encode_b, head_gather = self._batched_cached_fns(
-            net_hw, (src_h, src_w), dtype, c, m_max)
+            net_hw, (src_h, src_w), dtype, c)
         out_dtype = jnp.float16 if self.transfer_fp16 else None
         scan = partial(_stitch_chunk, metric=self.cfg.metric,
                        out_dtype=out_dtype)

@@ -93,11 +93,17 @@ def backend_unreachable_retry(total_s, _probe=None, log=None):
                                     flush=True))
     err = None
     fractions = (0.2, 0.3, 0.5)
+    deadline = _time.monotonic() + total_s  # backoffs eat the budget too,
+    # so total_s is an actual deadline, not a lower bound (r5 review)
     for i, f in enumerate(fractions):
-        err = backend_unreachable(max(total_s * f, 1.0), _probe=_probe)
+        left = deadline - _time.monotonic()
+        if left <= 0:
+            break
+        err = backend_unreachable(min(max(total_s * f, 1.0), left),
+                                  _probe=_probe)
         if err is None:
             return None
-        if i < len(fractions) - 1:
+        if i < len(fractions) - 1 and deadline - _time.monotonic() > 5.0:
             log(f"[probe] attempt {i + 1}/{len(fractions)} failed ({err}); "
                 "backing off 5s and re-joining")
             _time.sleep(5.0)
